@@ -1,0 +1,45 @@
+"""DataFrame persistence codecs.
+
+The universal intermediate format of the pipeline is a compressed npz holding
+``data``, ``index`` and ``columns`` arrays (same on-disk contract as the
+reference, cnmf.py:31-40), plus tab-separated text for user-facing outputs
+(reference cnmf.py:34-35).
+"""
+
+import errno
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def save_df_to_npz(obj: pd.DataFrame, filename: str) -> None:
+    np.savez_compressed(
+        filename,
+        data=obj.values,
+        index=obj.index.values,
+        columns=obj.columns.values,
+    )
+
+
+def load_df_from_npz(filename: str) -> pd.DataFrame:
+    with np.load(filename, allow_pickle=True) as f:
+        obj = pd.DataFrame(**f)
+    return obj
+
+
+def save_df_to_text(obj: pd.DataFrame, filename: str) -> None:
+    obj.to_csv(filename, sep="\t")
+
+
+def load_df_from_text(filename: str) -> pd.DataFrame:
+    return pd.read_csv(filename, sep="\t", index_col=0)
+
+
+def check_dir_exists(path: str) -> None:
+    """mkdir -p semantics (reference cnmf.py:42-50)."""
+    try:
+        os.makedirs(path)
+    except OSError as exception:
+        if exception.errno != errno.EEXIST:
+            raise

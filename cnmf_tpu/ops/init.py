@@ -1,0 +1,112 @@
+"""NMF factor initialization.
+
+Reproduces sklearn's init schemes (the reference passes init='random' or
+'nndsvd' through to sklearn, reference cnmf.py:627,1252):
+
+* 'random': ``avg·|N(0,1)|`` with ``avg = sqrt(X.mean()/K)``, drawn from
+  ``np.random.RandomState(seed)`` with H drawn before W — bit-identical to
+  sklearn so a converged CD run lands in the same local optimum.
+* 'nndsvd': nonnegative double SVD (Boutsidis & Gallopoulos 2008).
+
+Initialization is a host-side numpy step (cheap relative to the solve; exact
+RNG parity with the reference matters more than device residency here). The
+batched variants stack per-seed factors along a leading restart axis.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def _x_mean(X) -> float:
+    if sp.issparse(X):
+        return float(X.sum()) / (X.shape[0] * X.shape[1])
+    return float(np.mean(X))
+
+
+def random_init(X, n_components: int, seed: int, dtype=np.float32):
+    """sklearn init='random': H then W from RandomState(seed), |N(0,1)|·avg."""
+    avg = np.sqrt(_x_mean(X) / n_components)
+    rng = np.random.RandomState(seed)
+    n_samples, n_features = X.shape
+    H = avg * rng.standard_normal(size=(n_components, n_features))
+    W = avg * rng.standard_normal(size=(n_samples, n_components))
+    np.abs(H, out=H)
+    np.abs(W, out=W)
+    return W.astype(dtype, copy=False), H.astype(dtype, copy=False)
+
+
+def random_init_batch(
+    X, n_components: int, seeds: Sequence[int], dtype=np.float32
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack sklearn-compatible random inits: W0 (B,N,K), Ht0 (B,G,K)."""
+    Ws, Hts = [], []
+    for seed in seeds:
+        W, H = random_init(X, n_components, int(seed), dtype=dtype)
+        Ws.append(W)
+        Hts.append(np.ascontiguousarray(H.T))
+    return np.stack(Ws), np.stack(Hts)
+
+
+def nndsvd_init(X, n_components: int, eps: float = 1e-6, dtype=np.float32,
+                variant: str = "nndsvd", seed=None):
+    """NNDSVD init from the top-K SVD (sklearn _initialize_nmf semantics).
+
+    variant: 'nndsvd' | 'nndsvda' (zeros → X.mean()) | 'nndsvdar'.
+    """
+    Xd = X.toarray() if sp.issparse(X) else np.asarray(X)
+    n = min(Xd.shape)
+    if n_components > n:
+        raise ValueError(
+            f"nndsvd requires n_components <= min(X.shape) (= {n})"
+        )
+    U, S, V = np.linalg.svd(Xd, full_matrices=False)
+    U, S, V = U[:, :n_components], S[:n_components], V[:n_components]
+
+    W = np.zeros_like(U)
+    H = np.zeros_like(V)
+    W[:, 0] = np.sqrt(S[0]) * np.abs(U[:, 0])
+    H[0, :] = np.sqrt(S[0]) * np.abs(V[0, :])
+
+    for j in range(1, n_components):
+        x, y = U[:, j], V[j, :]
+        x_p, y_p = np.maximum(x, 0), np.maximum(y, 0)
+        x_n, y_n = np.abs(np.minimum(x, 0)), np.abs(np.minimum(y, 0))
+        x_p_nrm, y_p_nrm = np.linalg.norm(x_p), np.linalg.norm(y_p)
+        x_n_nrm, y_n_nrm = np.linalg.norm(x_n), np.linalg.norm(y_n)
+        m_p, m_n = x_p_nrm * y_p_nrm, x_n_nrm * y_n_nrm
+        if m_p > m_n:
+            u, v, sigma = x_p / x_p_nrm, y_p / y_p_nrm, m_p
+        else:
+            u, v, sigma = x_n / x_n_nrm, y_n / y_n_nrm, m_n
+        lbd = np.sqrt(S[j] * sigma)
+        W[:, j] = lbd * u
+        H[j, :] = lbd * v
+
+    W[W < eps] = 0
+    H[H < eps] = 0
+
+    if variant == "nndsvda":
+        avg = _x_mean(X)
+        W[W == 0] = avg
+        H[H == 0] = avg
+    elif variant == "nndsvdar":
+        rng = np.random.RandomState(seed)
+        avg = _x_mean(X)
+        W[W == 0] = np.abs(avg * rng.standard_normal(size=(W == 0).sum()) / 100)
+        H[H == 0] = np.abs(avg * rng.standard_normal(size=(H == 0).sum()) / 100)
+
+    return W.astype(dtype, copy=False), H.astype(dtype, copy=False)
+
+
+def nnls_w_init(X, n_components: int, solver: str, dtype=np.float32) -> np.ndarray:
+    """W init for fixed-H refits (sklearn _check_w_h, update_H=False):
+    zeros for CD, sqrt(X.mean()/K) for MU."""
+    n_samples = X.shape[0]
+    if solver == "mu":
+        avg = np.sqrt(_x_mean(X) / n_components)
+        return np.full((n_samples, n_components), avg, dtype=dtype)
+    return np.zeros((n_samples, n_components), dtype=dtype)

@@ -1,0 +1,69 @@
+"""Row/column normalization kernels.
+
+TPM (per-cell library-size) normalization and unit-variance gene scaling,
+replacing the reference's scanpy calls (``sc.pp.normalize_total`` at
+cnmf.py:250 and ``sc.pp.scale(zero_center=False)`` at cnmf.py:538). Host
+(numpy/scipy, sparse-aware) and device (JAX dense) variants.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def normalize_total(X, target_sum: float = 1e6):
+    """Scale each row (cell) to sum to ``target_sum``. Returns a new matrix."""
+    if sp.issparse(X):
+        totals = np.asarray(X.sum(axis=1)).ravel()
+        scale = np.divide(
+            target_sum, totals, out=np.zeros_like(totals, dtype=np.float64),
+            where=totals != 0,
+        )
+        D = sp.diags(scale)
+        return (D @ X).tocsr()
+    X = np.asarray(X, dtype=np.float64)
+    totals = X.sum(axis=1, keepdims=True)
+    safe = np.where(totals == 0, 1.0, totals)
+    return X * (target_sum / safe)
+
+
+@jax.jit
+def normalize_total_device(X: jax.Array, target_sum: float = 1e6) -> jax.Array:
+    totals = jnp.sum(X, axis=1, keepdims=True)
+    safe = jnp.where(totals == 0, 1.0, totals)
+    return X * (target_sum / safe)
+
+
+def scale_unit_variance(X, ddof: int = 1, zero_safe: bool = True):
+    """Divide each column by its std (no centering).
+
+    ``zero_safe`` maps std==0 → 1 (scanpy pp.scale semantics used on the
+    reference's sparse path, cnmf.py:538); the dense reference path divides
+    unguarded (cnmf.py:542) — pass zero_safe=False to reproduce it.
+    """
+    if sp.issparse(X):
+        n = X.shape[0]
+        mean = np.asarray(X.mean(axis=0)).ravel()
+        sq = np.asarray(X.multiply(X).mean(axis=0)).ravel()
+        var = (sq - mean**2) * n / max(n - ddof, 1)
+        std = np.sqrt(var)
+        if zero_safe:
+            std[std == 0] = 1.0
+        D = sp.diags(np.divide(1.0, std, out=np.zeros_like(std), where=std != 0)
+                     if not zero_safe else 1.0 / std)
+        return (X @ D).tocsr()
+    X = np.asarray(X)
+    std = X.std(axis=0, ddof=ddof)
+    if zero_safe:
+        std = np.where(std == 0, 1.0, std)
+    return X / std
+
+
+@jax.jit
+def l2_normalize_rows(X: jax.Array) -> jax.Array:
+    """Rescale rows to unit L2 norm (consensus spectra prep, cnmf.py:881-882)."""
+    norms = jnp.sqrt(jnp.sum(X * X, axis=1, keepdims=True))
+    return X / norms

@@ -1,0 +1,78 @@
+"""Batched OLS of (optionally z-scored) targets on usages.
+
+Replaces the reference's chunked-on-CPU ``efficient_ols_all_cols``
+(reference cnmf.py:55-125): Beta = (UᵀU)⁻¹ Uᵀ Z where Z is the per-column
+z-scored TPM matrix. On device the XtX/XtY accumulation is a pair of matmuls
+over gene chunks (the full-gene axis can exceed HBM comfort at atlas scale);
+the final K×K solve runs on host with numpy's lstsq (LAPACK gelsd) to match
+the reference's rcond=None semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnmf_tpu.ops.nmf import MATMUL_PRECISION
+import scipy.sparse as sp
+
+from cnmf_tpu.ops.stats import mean_var
+
+
+@jax.jit
+def _xty_zscored(U: jax.Array, Y: jax.Array, mean: jax.Array, inv_std: jax.Array):
+    """Uᵀ · ((Y - mean)·inv_std) without materializing the normalized Y:
+    UᵀY·inv_std − (Uᵀ1)·(mean·inv_std)."""
+    uty = jnp.dot(U.T, Y, preferred_element_type=U.dtype, precision=MATMUL_PRECISION)
+    u_sum = jnp.sum(U, axis=0)
+    return (uty - u_sum[:, None] * mean[None, :]) * inv_std[None, :]
+
+
+def efficient_ols_all_cols(
+    U: np.ndarray,
+    Y,
+    batch_size: int = 65536,
+    normalize_y: bool = False,
+    dtype=np.float32,
+) -> np.ndarray:
+    """OLS coefficients (n_predictors × n_targets) of Y columns on U.
+
+    U: (N, K) dense usages. Y: (N, G) dense or sparse targets. With
+    ``normalize_y``, Y columns are globally z-scored (var floored at 1e-12,
+    reference cnmf.py:89-95) — folded into the matmul rather than
+    materialized.
+    """
+    n, k = U.shape
+    if Y.shape[0] != n:
+        raise ValueError("U and Y must have the same number of rows.")
+    U = np.ascontiguousarray(U, dtype=dtype)
+
+    if normalize_y:
+        mean_y, var_y = mean_var(Y)
+        var_y = np.maximum(var_y, 1e-12)
+        inv_std = (1.0 / np.sqrt(var_y)).astype(dtype)
+        mean_y = mean_y.astype(dtype)
+
+    XtX = (U.T @ U).astype(np.float64)
+    Ud = jnp.asarray(U)
+
+    g = Y.shape[1]
+    xty_parts = []
+    for start in range(0, g, batch_size):
+        end = min(start + batch_size, g)
+        Yb = Y[:, start:end]
+        if sp.issparse(Yb):
+            Yb = Yb.toarray()
+        Yb = jnp.asarray(np.ascontiguousarray(Yb, dtype=dtype))
+        if normalize_y:
+            part = _xty_zscored(
+                Ud, Yb, jnp.asarray(mean_y[start:end]), jnp.asarray(inv_std[start:end])
+            )
+        else:
+            part = jnp.dot(Ud.T, Yb, preferred_element_type=Ud.dtype, precision=MATMUL_PRECISION)
+        xty_parts.append(np.asarray(part, dtype=np.float64))
+    XtY = np.concatenate(xty_parts, axis=1)
+
+    beta, *_ = np.linalg.lstsq(XtX, XtY, rcond=None)
+    return beta

@@ -1,0 +1,64 @@
+"""Device mesh + sharding layout for the restarts × cells grid.
+
+The reference scales by launching worker-indexed OS processes that share a
+filesystem (reference cnmf.py:52-53, 677-689; SURVEY §2.5-2.6). Here the same
+grid is laid out over a ``jax.sharding.Mesh`` with two axes:
+
+* ``restart`` — embarrassingly parallel NMF restarts; factors W/Ht are sharded
+  along their leading batch axis, X is replicated within a restart group. No
+  collectives are needed during factorization.
+* ``cell`` — for atlas-scale matrices, X and W are additionally sharded along
+  the cell axis; the H-side products (XᵀW, WᵀW) then require psum reductions
+  which XLA GSPMD inserts automatically from the sharding annotations, riding
+  ICI within a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(
+    devices: Optional[Sequence] = None,
+    cell_axis: int = 1,
+) -> Mesh:
+    """Mesh over all (or given) devices with axes (restart, cell).
+
+    ``cell_axis`` devices are dedicated to sharding the cell dimension; the
+    rest shard restarts.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % cell_axis != 0:
+        raise ValueError(f"{n} devices not divisible by cell_axis={cell_axis}")
+    arr = np.array(devices).reshape(n // cell_axis, cell_axis)
+    return Mesh(arr, axis_names=("restart", "cell"))
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> Tuple[np.ndarray, int]:
+    """Pad along ``axis`` (repeating the first slice) to a multiple; returns
+    (padded, original_length)."""
+    n = arr.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr, n
+    first = np.take(arr, [0] * pad, axis=axis)
+    return np.concatenate([arr, first], axis=axis), n
+
+
+def shard_factorize_inputs(mesh: Mesh, X, W0, Ht0):
+    """Place factorize inputs on the mesh: X replicated over restarts /
+    sharded over cells; W sharded (restart, cell); Ht sharded (restart)."""
+    x_sharding = NamedSharding(mesh, P("cell", None))
+    w_sharding = NamedSharding(mesh, P("restart", "cell", None))
+    h_sharding = NamedSharding(mesh, P("restart", None, None))
+    return (
+        jax.device_put(X, x_sharding),
+        jax.device_put(W0, w_sharding),
+        jax.device_put(Ht0, h_sharding),
+    )

@@ -1,0 +1,785 @@
+"""The cNMF pipeline orchestrator — TPU-native, reference-compatible.
+
+Same five-stage API and on-disk artifact contract as the reference
+(prepare / factorize / combine / consensus / k_selection_plot, reference
+cnmf.py:265-1210), but the compute re-designed for TPU:
+
+* ``factorize`` runs the whole restart grid for each K as ONE batched device
+  program (vmap-style leading restart axis, optionally sharded over a device
+  mesh) instead of worker-indexed CPU jobs — see cnmf_tpu.ops.nmf.
+* ``consensus`` runs its hot pieces on device: L2 normalization, the R×R
+  distance matrix + KNN density filter, batched-restart KMeans, NNLS refits
+  and the z-score OLS regression.
+* Stage boundaries still materialize the reference's files (SURVEY §2.9), so
+  resume/elasticity semantics and downstream consumers are unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import uuid
+import warnings
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import scipy.sparse as sp
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from cnmf_tpu.io.anndata_lite import AnnData
+from cnmf_tpu.io.dataframe import (
+    check_dir_exists,
+    load_df_from_npz,
+    save_df_to_npz,
+    save_df_to_text,
+)
+from cnmf_tpu.io.h5ad import read_h5ad, write_h5ad
+from cnmf_tpu.io.loaders import load_counts
+from cnmf_tpu.ops.distance import local_density_from_spectra, pairwise_euclidean
+from cnmf_tpu.ops.init import nndsvd_init, random_init_batch
+from cnmf_tpu.ops.kmeans import kmeans_fit
+from cnmf_tpu.ops.nmf import reconstruction_sse
+from cnmf_tpu.ops.normalize import normalize_total, scale_unit_variance
+from cnmf_tpu.ops.ols import efficient_ols_all_cols
+from cnmf_tpu.ops.silhouette import silhouette_from_distances
+from cnmf_tpu.ops.stats import get_highvar_genes, mean_var
+from cnmf_tpu.parallel.mesh import build_mesh, pad_to_multiple, shard_factorize_inputs
+from cnmf_tpu.pipeline.paths import build_paths
+from cnmf_tpu.pipeline.plots import clustergram, k_selection_figure
+from cnmf_tpu.pipeline.solvers import refit_usages, solve_nmf_batch
+
+
+def worker_filter(iterable, worker_index, total_workers):
+    """Round-robin shard: element i goes to worker i % total_workers
+    (reference cnmf.py:52-53); kept for CLI/API compatibility."""
+    return (p for i, p in enumerate(iterable) if (i - worker_index) % total_workers == 0)
+
+
+class cNMF:
+    """Consensus NMF over a restarts × K grid, batched on TPU.
+
+    Parameters
+    ----------
+    output_dir : str — analysis output root (default ".").
+    name : str — run name, prefixed to every file; auto-generated
+        ``YYYY_MM_DD_<6-hex>`` when None (reference cnmf.py:268-288).
+    compute_dtype : numpy dtype for device math (default float32; use float64
+        on CPU when exact sklearn parity is wanted).
+    """
+
+    def __init__(self, output_dir=".", name=None, compute_dtype=np.float32):
+        self.output_dir = output_dir
+        if name is None:
+            now = datetime.datetime.now()
+            rand_hash = uuid.uuid4().hex[:6]
+            name = "%s_%s" % (now.strftime("%Y_%m_%d"), rand_hash)
+        self.name = name
+        self.paths = None
+        self.compute_dtype = np.dtype(compute_dtype)
+        self._initialize_dirs()
+
+    def _initialize_dirs(self):
+        if self.paths is None:
+            check_dir_exists(self.output_dir)
+            check_dir_exists(os.path.join(self.output_dir, self.name))
+            check_dir_exists(os.path.join(self.output_dir, self.name, "cnmf_tmp"))
+            self.paths = build_paths(self.output_dir, self.name)
+
+    # ==================================================================
+    # prepare
+    # ==================================================================
+
+    def prepare(
+        self,
+        counts_fn,
+        components,
+        n_iter=100,
+        densify=False,
+        tpm_fn=None,
+        seed=None,
+        beta_loss="frobenius",
+        num_highvar_genes=2000,
+        genes_file=None,
+        alpha_usage=0.0,
+        alpha_spectra=0.0,
+        init="random",
+        max_NMF_iter=1000,
+    ):
+        """Load counts, select/normalize HVGs, and lay out the replicate grid.
+
+        Produces the same six artifacts as the reference (cnmf.py:333-459):
+        tpm + tpm_stats, norm_counts, the HVG list, the replicate-parameter
+        table and the YAML solver kwargs.
+        """
+        input_counts = load_counts(counts_fn, densify=densify)
+        if sp.issparse(input_counts.X) and densify:
+            input_counts.X = np.asarray(input_counts.X.todense())
+
+        if tpm_fn is None:
+            tpm = AnnData(
+                normalize_total(input_counts.X, target_sum=1e6),
+                obs=input_counts.obs.copy(),
+                var=input_counts.var.copy(),
+            )
+            write_h5ad(self.paths["tpm"], tpm)
+        elif tpm_fn.endswith(".h5ad"):
+            shutil.copy(tpm_fn, self.paths["tpm"])
+            tpm = read_h5ad(self.paths["tpm"])
+        else:
+            tpm = load_counts(tpm_fn, densify=densify)
+            write_h5ad(self.paths["tpm"], tpm)
+
+        gene_tpm_mean, gene_tpm_var = mean_var(tpm.X)
+        gene_tpm_stddev = gene_tpm_var ** 0.5
+        input_tpm_stats = pd.DataFrame(
+            [gene_tpm_mean, gene_tpm_stddev],
+            index=["__mean", "__std"],
+            columns=tpm.var.index,
+        ).T
+        save_df_to_npz(input_tpm_stats, self.paths["tpm_stats"])
+
+        if genes_file is not None:
+            highvargenes = open(genes_file).read().rstrip().split("\n")
+        else:
+            highvargenes = None
+
+        norm_counts = self.get_norm_counts(
+            input_counts, tpm,
+            num_highvar_genes=num_highvar_genes,
+            high_variance_genes_filter=highvargenes,
+        )
+        self.save_norm_counts(norm_counts)
+
+        (replicate_params, run_params) = self.get_nmf_iter_params(
+            ks=components, n_iter=n_iter, random_state_seed=seed,
+            beta_loss=beta_loss, alpha_usage=alpha_usage,
+            alpha_spectra=alpha_spectra, init=init, max_iter=max_NMF_iter,
+        )
+        self.save_nmf_iter_params(replicate_params, run_params)
+
+    def get_norm_counts(
+        self, counts, tpm, high_variance_genes_filter=None, num_highvar_genes=None
+    ) -> AnnData:
+        """Subset to HVGs and scale genes to unit variance without centering
+        (reference cnmf.py:487-556)."""
+        if high_variance_genes_filter is None:
+            gene_counts_stats, _ = get_highvar_genes(
+                tpm.X, numgenes=num_highvar_genes
+            )
+            high_variance_genes_filter = list(
+                tpm.var.index[gene_counts_stats.high_var.values]
+            )
+
+        norm_counts = counts[:, high_variance_genes_filter].copy()
+        norm_counts.X = norm_counts.X.astype(np.float64)
+
+        if sp.issparse(tpm.X):
+            norm_counts.X = scale_unit_variance(norm_counts.X, ddof=1, zero_safe=True)
+            if np.isnan(norm_counts.X.data).sum() > 0:
+                print("Warning NaNs in normalized counts matrix")
+        else:
+            norm_counts.X = scale_unit_variance(norm_counts.X, ddof=1, zero_safe=False)
+            if np.isnan(norm_counts.X).sum().sum() > 0:
+                print("Warning NaNs in normalized counts matrix")
+
+        with open(self.paths["nmf_genes_list"], "w") as F:
+            F.write("\n".join(high_variance_genes_filter))
+
+        zerocells = np.asarray(norm_counts.X.sum(axis=1) == 0).reshape(-1)
+        if zerocells.sum() > 0:
+            examples = norm_counts.obs.index[np.ravel(zerocells)]
+            raise Exception(
+                "Error: %d cells have zero counts of overdispersed genes. E.g. %s. "
+                "Filter those cells and re-run or adjust the number of "
+                "overdispersed genes. Quitting!"
+                % (zerocells.sum(), ", ".join(examples[:4]))
+            )
+        return norm_counts
+
+    def save_norm_counts(self, norm_counts: AnnData):
+        self._initialize_dirs()
+        write_h5ad(self.paths["normalized_counts"], norm_counts)
+
+    def get_nmf_iter_params(
+        self, ks, n_iter=100, random_state_seed=None,
+        beta_loss="kullback-leibler", alpha_usage=0.0, alpha_spectra=0.0,
+        init="random", max_iter=1000,
+    ):
+        """Replicate-parameter grid with order-stable per-(K, iter) seeds
+        (reference cnmf.py:564-633; the seed vector length uses the pre-dedup
+        ks length, preserving the reference's quirk)."""
+        import itertools
+
+        if type(ks) is int:
+            ks = [ks]
+        k_list = sorted(set(list(ks)))
+
+        n_runs = len(ks) * n_iter
+        np.random.seed(seed=random_state_seed)
+        nmf_seeds = np.random.randint(low=1, high=(2**31) - 1, size=n_runs)
+
+        replicate_params = []
+        for i, (k, r) in enumerate(itertools.product(k_list, range(n_iter))):
+            completed = os.path.exists(self.paths["iter_spectra"] % (k, r))
+            replicate_params.append([k, r, nmf_seeds[i], completed])
+        replicate_params = pd.DataFrame(
+            replicate_params,
+            columns=["n_components", "iter", "nmf_seed", "completed"],
+        )
+
+        n_completed = replicate_params["completed"].sum()
+        if n_completed > 0:
+            message = (
+                "{n} runs already appear completed. If this is unexpected, "
+                "consider re-initializing the cnmf object with a different "
+                "run name or output directory".format(n=n_completed)
+            )
+            warnings.warn(message, UserWarning)
+
+        _nmf_kwargs = dict(
+            alpha_W=alpha_usage,
+            alpha_H=alpha_spectra,
+            l1_ratio=0.0,
+            beta_loss=beta_loss,
+            solver="mu",
+            tol=1e-4,
+            max_iter=max_iter,
+            init=init,
+        )
+        # CD is faster than MU but frobenius-only (reference cnmf.py:629-631)
+        if beta_loss == "frobenius":
+            _nmf_kwargs["solver"] = "cd"
+        return replicate_params, _nmf_kwargs
+
+    def update_nmf_iter_params(self):
+        """Re-scan disk for completed per-iteration spectra files
+        (reference cnmf.py:636-651)."""
+        _nmf_kwargs = yaml.load(
+            open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
+        )
+        replicate_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
+        for i in replicate_params.index:
+            exists = os.path.exists(
+                self.paths["iter_spectra"]
+                % (replicate_params.at[i, "n_components"], replicate_params.at[i, "iter"])
+            )
+            replicate_params.at[i, "completed"] = exists
+        remaining = (replicate_params["completed"] == False).sum()  # noqa: E712
+        print("{n} NMF runs are currently incomplete".format(n=remaining))
+        self.save_nmf_iter_params(replicate_params, _nmf_kwargs)
+
+    def save_nmf_iter_params(self, replicate_params, run_params):
+        self._initialize_dirs()
+        save_df_to_npz(replicate_params, self.paths["nmf_replicate_parameters"])
+        with open(self.paths["nmf_run_parameters"], "w") as F:
+            yaml.dump(run_params, F)
+
+    # ==================================================================
+    # factorize
+    # ==================================================================
+
+    def factorize(
+        self,
+        worker_i=0,
+        total_workers=1,
+        skip_completed_runs=False,
+        restart_chunk: Optional[int] = None,
+        use_mesh: bool = True,
+        verbose: bool = True,
+    ):
+        """Run the assigned NMF restarts as batched device programs.
+
+        Jobs are still round-robin shardable across workers for CLI parity
+        (reference cnmf.py:692-745), but within one worker all restarts for a
+        given K execute as a single jitted program over the restart batch,
+        sharded across local devices when ``use_mesh``. Spectra land in the
+        same per-(K, iter) npz files.
+        """
+        run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
+        norm_counts = read_h5ad(self.paths["normalized_counts"])
+        _nmf_kwargs = yaml.load(
+            open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
+        )
+
+        if not skip_completed_runs:
+            jobs = list(worker_filter(range(len(run_params)), worker_i, total_workers))
+        else:
+            jobs = list(
+                worker_filter(
+                    run_params.index[run_params["completed"] == False],  # noqa: E712
+                    worker_i, total_workers,
+                )
+            )
+        if len(jobs) == 0:
+            return
+
+        X = norm_counts.X
+        if sp.issparse(X):
+            X = np.asarray(X.todense())
+        X = np.ascontiguousarray(X, dtype=self.compute_dtype)
+        Xd = jnp.asarray(X)
+
+        gene_index = norm_counts.var.index
+        sub = run_params.iloc[jobs]
+        for k, group in sub.groupby("n_components", sort=True):
+            k = int(k)
+            seeds = group["nmf_seed"].values
+            iters = group["iter"].values
+            if verbose:
+                print(
+                    "[Worker %d] factorizing k=%d: %d restarts as one device batch"
+                    % (worker_i, k, len(seeds))
+                )
+            spectra_batch = self._factorize_one_k(
+                Xd, X, k, seeds, _nmf_kwargs,
+                restart_chunk=restart_chunk, use_mesh=use_mesh,
+            )
+            for i, it in enumerate(iters):
+                spectra = pd.DataFrame(
+                    spectra_batch[i].astype(np.float64),
+                    index=np.arange(1, k + 1),
+                    columns=gene_index,
+                )
+                save_df_to_npz(spectra, self.paths["iter_spectra"] % (k, it))
+
+    def _factorize_one_k(
+        self, Xd, X_host, k, seeds, nmf_kwargs,
+        restart_chunk=None, use_mesh=True,
+    ) -> np.ndarray:
+        """All restarts for one K: init on host (sklearn-RNG-compatible),
+        solve batched on device. Returns spectra (B, k, G)."""
+        init = nmf_kwargs.get("init", "random")
+        dtype = self.compute_dtype
+        B = len(seeds)
+        chunk = restart_chunk or B
+
+        out = []
+        for start in range(0, B, chunk):
+            chunk_seeds = seeds[start:start + chunk]
+            if init == "random":
+                W0, Ht0 = random_init_batch(X_host, k, chunk_seeds, dtype=dtype)
+            elif init in ("nndsvd", "nndsvda", "nndsvdar"):
+                W_s, H_s = nndsvd_init(X_host, k, dtype=dtype, variant=init)
+                W0 = np.broadcast_to(W_s[None], (len(chunk_seeds),) + W_s.shape).copy()
+                Ht0 = np.broadcast_to(
+                    H_s.T[None], (len(chunk_seeds),) + H_s.T.shape
+                ).copy()
+            else:
+                raise ValueError(f"unsupported init: {init}")
+
+            mesh = None
+            if use_mesh and len(jax.devices()) > 1:
+                mesh = build_mesh()
+                n_restart_shards = mesh.shape["restart"]
+                W0, true_b = pad_to_multiple(W0, n_restart_shards)
+                Ht0, _ = pad_to_multiple(Ht0, n_restart_shards)
+                Xs, W0d, Ht0d = shard_factorize_inputs(mesh, Xd, W0, Ht0)
+                W, Ht, n_iter = solve_nmf_batch(Xs, W0d, Ht0d, nmf_kwargs)
+                Ht = Ht[:true_b]
+            else:
+                W, Ht, n_iter = solve_nmf_batch(
+                    Xd, jnp.asarray(W0), jnp.asarray(Ht0), nmf_kwargs
+                )
+            out.append(np.asarray(Ht).transpose(0, 2, 1))  # (B, k, G)
+        return np.concatenate(out, axis=0)
+
+    def factorize_multi_process(self, total_workers=None):
+        """Compat shim: the batched device program replaces the reference's
+        multiprocessing pool (cnmf.py:677-689); one call does all the work."""
+        self.factorize(worker_i=0, total_workers=1)
+
+    def _nmf(self, X, nmf_kwargs):
+        """Single NMF solve mirroring sklearn's return convention
+        (spectra, usages) — kept for API compatibility (cnmf.py:661-674)."""
+        from cnmf_tpu.ops.init import random_init
+
+        if sp.issparse(X):
+            X = np.asarray(X.todense())
+        X = np.ascontiguousarray(X, dtype=self.compute_dtype)
+        kwargs = dict(nmf_kwargs)
+        H = kwargs.pop("H", None)
+        update_H = kwargs.pop("update_H", True)
+        if not update_H:
+            usages = refit_usages(X, np.asarray(H), kwargs, dtype=self.compute_dtype)
+            return np.asarray(H), usages
+        k = int(kwargs.pop("n_components"))
+        seed = kwargs.pop("random_state", None)
+        init = kwargs.get("init", "random")
+        if init == "random":
+            W0, H0 = random_init(X, k, seed, dtype=self.compute_dtype)
+        else:
+            W0, H0 = nndsvd_init(X, k, dtype=self.compute_dtype, variant=init)
+        W, Ht, _ = solve_nmf_batch(
+            jnp.asarray(X), jnp.asarray(W0[None]),
+            jnp.asarray(np.ascontiguousarray(H0.T)[None]), kwargs,
+        )
+        return np.asarray(Ht[0]).T, np.asarray(W[0])
+
+    # ==================================================================
+    # combine
+    # ==================================================================
+
+    def combine(self, components=None, skip_missing_files=False):
+        if type(components) is int:
+            ks = [components]
+        elif components is None:
+            run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
+            ks = sorted(set(run_params.n_components))
+        else:
+            ks = components
+        for k in ks:
+            self.combine_nmf(k, skip_missing_files=skip_missing_files)
+
+    def combine_nmf(self, k, skip_missing_files=False):
+        """Concatenate per-iteration spectra into the merged (n_iter·K × G)
+        stack with ``iter{r}_topic{t}`` row labels (reference cnmf.py:748-773)."""
+        import errno
+
+        run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
+        print("Combining factorizations for k=%d." % k)
+        run_params_subset = run_params[run_params.n_components == k].sort_values("iter")
+        combined_spectra = []
+        for _, p in run_params_subset.iterrows():
+            current_file = self.paths["iter_spectra"] % (p["n_components"], p["iter"])
+            if not os.path.exists(current_file):
+                if not skip_missing_files:
+                    print(
+                        "Missing file: %s, run with skip_missing=True to override"
+                        % current_file
+                    )
+                    raise FileNotFoundError(
+                        errno.ENOENT, os.strerror(errno.ENOENT), current_file
+                    )
+                print("Missing file: %s. Skipping." % current_file)
+            else:
+                spectra = load_df_from_npz(current_file)
+                spectra.index = [
+                    "iter%d_topic%d" % (p["iter"], t + 1) for t in range(k)
+                ]
+                combined_spectra.append(spectra)
+        if len(combined_spectra) > 0:
+            combined_spectra = pd.concat(combined_spectra, axis=0)
+            save_df_to_npz(combined_spectra, self.paths["merged_spectra"] % k)
+        else:
+            print("No spectra found for k=%d" % k)
+        return combined_spectra
+
+    # ==================================================================
+    # refits
+    # ==================================================================
+
+    def refit_usage(self, X, spectra):
+        """Fixed-spectra NNLS usage refit (reference cnmf.py:776-802)."""
+        refit_nmf_kwargs = yaml.load(
+            open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
+        )
+        spectra_values = spectra.values if isinstance(spectra, pd.DataFrame) else spectra
+        X_values = X.values if isinstance(X, pd.DataFrame) else X
+        if sp.issparse(X_values):
+            X_values = np.asarray(X_values.todense())
+        rf_usages = refit_usages(
+            np.asarray(X_values), np.asarray(spectra_values),
+            refit_nmf_kwargs, dtype=self.compute_dtype,
+        )
+        if isinstance(X, pd.DataFrame) and isinstance(spectra, pd.DataFrame):
+            rf_usages = pd.DataFrame(rf_usages, index=X.index, columns=spectra.index)
+        return rf_usages
+
+    def refit_spectra(self, X, usage):
+        """Fixed-usage NNLS via the transpose trick (reference cnmf.py:805-820)."""
+        if isinstance(X, pd.DataFrame):
+            return self.refit_usage(X.T, usage.T).T
+        if sp.issparse(X):
+            Xt = X.T
+        else:
+            Xt = np.asarray(X).T
+        usage_t = usage.values.T if isinstance(usage, pd.DataFrame) else np.asarray(usage).T
+        return self.refit_usage(Xt, usage_t).T
+
+    # ==================================================================
+    # consensus
+    # ==================================================================
+
+    def consensus(
+        self,
+        k,
+        density_threshold=0.5,
+        local_neighborhood_size=0.30,
+        show_clustering=True,
+        build_ref=True,
+        skip_density_and_return_after_stats=False,
+        close_clustergram_fig=False,
+        refit_usage=True,
+        normalize_tpm_spectra=False,
+        norm_counts=None,
+    ):
+        """Consensus spectra/usages via density filtering + KMeans + medians
+        (reference cnmf.py:823-1082), with the distance matrix, KNN density,
+        KMeans, silhouette, NNLS refits and z-score OLS on device."""
+        merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
+        if norm_counts is None:
+            norm_counts = read_h5ad(self.paths["normalized_counts"])
+
+        density_threshold_str = str(density_threshold)
+        if skip_density_and_return_after_stats:
+            density_threshold_str = "2"
+        density_threshold_repl = density_threshold_str.replace(".", "_")
+        n_neighbors = int(local_neighborhood_size * merged_spectra.shape[0] / k)
+
+        # L2-normalize spectra rows (device)
+        spectra_dev = jnp.asarray(
+            merged_spectra.values.astype(self.compute_dtype)
+        )
+        norms = np.sqrt((merged_spectra.values ** 2).sum(axis=1))
+        l2_spectra = pd.DataFrame(
+            merged_spectra.values / norms[:, None],
+            index=merged_spectra.index, columns=merged_spectra.columns,
+        )
+        del spectra_dev
+
+        topics_dist = None
+        if not skip_density_and_return_after_stats:
+            if os.path.isfile(self.paths["local_density_cache"] % k):
+                local_density = load_df_from_npz(self.paths["local_density_cache"] % k)
+            else:
+                density = np.asarray(
+                    local_density_from_spectra(
+                        jnp.asarray(l2_spectra.values.astype(self.compute_dtype)),
+                        n_neighbors,
+                    )
+                ).astype(np.float64)
+                local_density = pd.DataFrame(
+                    density, columns=["local_density"], index=l2_spectra.index
+                )
+                save_df_to_npz(local_density, self.paths["local_density_cache"] % k)
+
+            density_filter = local_density.iloc[:, 0] < density_threshold
+            l2_spectra = l2_spectra.loc[density_filter, :]
+            if l2_spectra.shape[0] == 0:
+                raise RuntimeError(
+                    "Zero components remain after density filtering. "
+                    "Consider increasing density threshold"
+                )
+
+        # KMeans on device (10 restarts batched; reference cnmf.py:908-910)
+        labels, _, _ = kmeans_fit(
+            l2_spectra.values.astype(self.compute_dtype), n_clusters=k,
+            n_init=10, random_state=1,
+        )
+        kmeans_cluster_labels = pd.Series(labels + 1, index=l2_spectra.index)
+
+        # per-cluster median spectra, renormalized to row-sum 1
+        median_spectra = l2_spectra.groupby(kmeans_cluster_labels).median()
+        median_spectra = (median_spectra.T / median_spectra.sum(1)).T
+
+        rf_usages = self.refit_usage(norm_counts.X, median_spectra)
+        rf_usages = pd.DataFrame(
+            np.asarray(rf_usages), index=norm_counts.obs.index,
+            columns=median_spectra.index,
+        )
+
+        if skip_density_and_return_after_stats:
+            dist = pairwise_euclidean(
+                jnp.asarray(l2_spectra.values.astype(self.compute_dtype))
+            )
+            silhouette = float(
+                silhouette_from_distances(
+                    dist, jnp.asarray(labels), int(k)
+                )
+            )
+            Xc = norm_counts.X
+            if sp.issparse(Xc):
+                Xc = np.asarray(Xc.todense())
+            prediction_error = float(
+                reconstruction_sse(
+                    jnp.asarray(np.ascontiguousarray(Xc, dtype=self.compute_dtype)),
+                    jnp.asarray(rf_usages.values.astype(self.compute_dtype)),
+                    jnp.asarray(median_spectra.values.astype(self.compute_dtype)),
+                )
+            )
+            consensus_stats = pd.DataFrame(
+                [k, density_threshold, silhouette, prediction_error],
+                index=["k", "local_density_threshold", "silhouette", "prediction_error"],
+                columns=["stats"],
+            )
+            return consensus_stats
+
+        # Re-order usage by total contribution (reference cnmf.py:938-946)
+        norm_usages = rf_usages.div(rf_usages.sum(axis=1), axis=0)
+        reorder = norm_usages.sum(axis=0).sort_values(ascending=False)
+        rf_usages = rf_usages.loc[:, reorder.index]
+        norm_usages = norm_usages.loc[:, reorder.index]
+        median_spectra = median_spectra.loc[reorder.index, :]
+        rf_usages.columns = np.arange(1, rf_usages.shape[1] + 1)
+        norm_usages.columns = rf_usages.columns
+        median_spectra.index = rf_usages.columns
+
+        # TPM-unit spectra via fixed-usage NNLS over ALL genes
+        tpm = read_h5ad(self.paths["tpm"])
+        tpm_stats = load_df_from_npz(self.paths["tpm_stats"])
+        spectra_tpm = self.refit_spectra(tpm.X, norm_usages)
+        spectra_tpm = pd.DataFrame(
+            np.asarray(spectra_tpm), index=rf_usages.columns, columns=tpm.var.index
+        )
+        if normalize_tpm_spectra:
+            spectra_tpm = spectra_tpm.div(spectra_tpm.sum(axis=1), axis=0) * 1e6
+
+        # Z-score spectra: OLS of z-scored TPM on usages (reference cnmf.py:957-959)
+        usage_coef = efficient_ols_all_cols(
+            rf_usages.values, tpm.X, normalize_y=True, dtype=self.compute_dtype
+        )
+        usage_coef = pd.DataFrame(
+            usage_coef, index=rf_usages.columns, columns=tpm.var.index
+        )
+
+        if refit_usage:
+            # final usage refit on std-scaled HVG TPM (reference cnmf.py:961-975)
+            hvgs = open(self.paths["nmf_genes_list"]).read().split("\n")
+            norm_tpm_X = tpm[:, hvgs].X
+            if sp.issparse(norm_tpm_X):
+                norm_tpm_X = scale_unit_variance(norm_tpm_X, ddof=1, zero_safe=True)
+            else:
+                norm_tpm_X = scale_unit_variance(
+                    np.asarray(norm_tpm_X, dtype=np.float64), ddof=1, zero_safe=False
+                )
+            spectra_tpm_rf = spectra_tpm.loc[:, hvgs]
+            tpm_stats_idx = tpm_stats.copy()
+            tpm_stats_idx.index = tpm.var.index
+            spectra_tpm_rf = spectra_tpm_rf.div(tpm_stats_idx.loc[hvgs, "__std"], axis=1)
+            rf_usages = self.refit_usage(norm_tpm_X, spectra_tpm_rf.values)
+            rf_usages = pd.DataFrame(
+                np.asarray(rf_usages), index=norm_counts.obs.index,
+                columns=spectra_tpm_rf.index,
+            )
+
+        save_df_to_npz(
+            median_spectra, self.paths["consensus_spectra"] % (k, density_threshold_repl)
+        )
+        save_df_to_npz(
+            rf_usages, self.paths["consensus_usages"] % (k, density_threshold_repl)
+        )
+        save_df_to_text(
+            median_spectra,
+            self.paths["consensus_spectra__txt"] % (k, density_threshold_repl),
+        )
+        save_df_to_text(
+            rf_usages, self.paths["consensus_usages__txt"] % (k, density_threshold_repl)
+        )
+        save_df_to_npz(
+            spectra_tpm, self.paths["gene_spectra_tpm"] % (k, density_threshold_repl)
+        )
+        save_df_to_text(
+            spectra_tpm, self.paths["gene_spectra_tpm__txt"] % (k, density_threshold_repl)
+        )
+        save_df_to_npz(
+            usage_coef, self.paths["gene_spectra_score"] % (k, density_threshold_repl)
+        )
+        save_df_to_text(
+            usage_coef, self.paths["gene_spectra_score__txt"] % (k, density_threshold_repl)
+        )
+
+        if show_clustering:
+            topics_dist = np.asarray(
+                pairwise_euclidean(
+                    jnp.asarray(l2_spectra.values.astype(self.compute_dtype))
+                )
+            )
+            clustergram(
+                topics_dist,
+                kmeans_cluster_labels.values,
+                local_density.values,
+                density_threshold,
+                density_filter.values,
+                self.paths["clustering_plot"] % (k, density_threshold_repl),
+                close_fig=close_clustergram_fig,
+            )
+
+        if build_ref:
+            self.build_reference(k, density_threshold)
+
+    # ==================================================================
+    # starCAT reference
+    # ==================================================================
+
+    def build_reference(self, k, density_threshold=0.5, target_sum=1e6):
+        """starCAT reference GEPs: txt-round-tripped TPM spectra, renormalized
+        to target_sum, var-normalized, HVG-subset (reference cnmf.py:1085-1116)."""
+        density_threshold_repl = str(density_threshold).replace(".", "_")
+        tpmfn = self.paths["gene_spectra_tpm__txt"] % (k, density_threshold_repl)
+        spectra_tpm = pd.read_csv(tpmfn, index_col=0, sep="\t")
+        hvgs = open(self.paths["nmf_genes_list"]).read().split("\n")
+
+        tpm_stats = load_df_from_npz(self.paths["tpm_stats"])
+        tpm_stats.index = spectra_tpm.columns
+
+        spectra_tpm_renorm = spectra_tpm.div(spectra_tpm.sum(axis=1), axis=0) * target_sum
+        spectra_tpm_varnorm = spectra_tpm_renorm.div(tpm_stats["__std"])
+
+        ref_spectra = spectra_tpm_varnorm[hvgs].copy()
+        ref_spectra.index = "GEP" + ref_spectra.index.astype("str")
+
+        save_df_to_npz(
+            ref_spectra, self.paths["starcat_spectra"] % (k, density_threshold_repl)
+        )
+        save_df_to_text(
+            ref_spectra, self.paths["starcat_spectra__txt"] % (k, density_threshold_repl)
+        )
+
+    # ==================================================================
+    # k selection
+    # ==================================================================
+
+    def k_selection_plot(self, close_fig=False):
+        """Stability (silhouette) vs reconstruction-error K sweep
+        (reference cnmf.py:1119-1158; Alexandrov et al. 2013)."""
+        run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
+        stats = []
+        norm_counts = read_h5ad(self.paths["normalized_counts"])
+        for k in sorted(set(run_params.n_components)):
+            stats.append(
+                self.consensus(
+                    k, skip_density_and_return_after_stats=True,
+                    show_clustering=False, close_clustergram_fig=True,
+                    norm_counts=norm_counts,
+                ).stats
+            )
+        stats = pd.DataFrame(stats)
+        stats.reset_index(drop=True, inplace=True)
+        save_df_to_npz(stats, self.paths["k_selection_stats"])
+        k_selection_figure(stats, self.paths["k_selection_plot"], close_fig=close_fig)
+        return stats
+
+    # ==================================================================
+    # results loading
+    # ==================================================================
+
+    def load_results(self, K, density_threshold, n_top_genes=100, norm_usage=True):
+        """Load usages + spectra scores/tpm and top marker genes per GEP
+        (reference cnmf.py:1161-1210)."""
+        dt_repl = str(density_threshold).replace(".", "_")
+        scorefn = self.paths["gene_spectra_score__txt"] % (K, dt_repl)
+        tpmfn = self.paths["gene_spectra_tpm__txt"] % (K, dt_repl)
+        usagefn = self.paths["consensus_usages__txt"] % (K, dt_repl)
+        spectra_scores = pd.read_csv(scorefn, sep="\t", index_col=0).T
+        spectra_tpm = pd.read_csv(tpmfn, sep="\t", index_col=0).T
+        usage = pd.read_csv(usagefn, sep="\t", index_col=0)
+
+        if norm_usage:
+            usage = usage.div(usage.sum(axis=1), axis=0)
+        try:
+            usage.columns = [int(x) for x in usage.columns]
+        except Exception:
+            print("Usage matrix columns include non integer values")
+
+        top_genes = []
+        for gep in spectra_scores.columns:
+            top_genes.append(
+                list(spectra_scores.sort_values(by=gep, ascending=False).index[:n_top_genes])
+            )
+        top_genes = pd.DataFrame(top_genes, index=spectra_scores.columns).T
+        return usage, spectra_scores, spectra_tpm, top_genes

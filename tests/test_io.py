@@ -1,0 +1,86 @@
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.sparse as sp
+
+from cnmf_tpu.io import (
+    AnnData,
+    load_df_from_npz,
+    read_h5ad,
+    save_df_to_npz,
+    write_h5ad,
+)
+from cnmf_tpu.io.loaders import load_counts
+
+
+def test_df_npz_roundtrip(tmp_path):
+    df = pd.DataFrame(
+        np.random.rand(5, 3),
+        index=[f"cell{i}" for i in range(5)],
+        columns=[f"gene{j}" for j in range(3)],
+    )
+    fn = str(tmp_path / "x.df.npz")
+    save_df_to_npz(df, fn)
+    df2 = load_df_from_npz(fn)
+    np.testing.assert_allclose(df.values, df2.values)
+    assert list(df.index) == list(df2.index)
+    assert list(df.columns) == list(df2.columns)
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_h5ad_roundtrip(tmp_path, sparse):
+    rng = np.random.RandomState(0)
+    X = rng.binomial(20, 0.1, size=(30, 12)).astype(np.float32)
+    if sparse:
+        X = sp.csr_matrix(X)
+    obs = pd.DataFrame(
+        {"n_counts": np.arange(30, dtype=np.float64),
+         "batch": pd.Categorical(["a", "b"] * 15)},
+        index=pd.Index([f"c{i}" for i in range(30)]),
+    )
+    var = pd.DataFrame(index=pd.Index([f"g{i}" for i in range(12)]))
+    adata = AnnData(X, obs=obs, var=var, uns={"norm": "tpm", "target": 1e6})
+    fn = str(tmp_path / "x.h5ad")
+    write_h5ad(fn, adata)
+    back = read_h5ad(fn)
+    Xd = X.toarray() if sparse else X
+    Xb = back.X.toarray() if sp.issparse(back.X) else back.X
+    np.testing.assert_allclose(Xd, Xb)
+    assert list(back.obs.index) == list(obs.index)
+    assert list(back.var.index) == list(var.index)
+    np.testing.assert_allclose(back.obs["n_counts"].values, obs["n_counts"].values)
+    assert list(back.obs["batch"]) == list(obs["batch"])
+    assert back.uns["norm"] == "tpm"
+    assert float(back.uns["target"]) == 1e6
+
+
+def test_anndata_gene_subset():
+    X = np.arange(24, dtype=np.float64).reshape(4, 6)
+    var = pd.DataFrame(index=pd.Index([f"g{i}" for i in range(6)]))
+    adata = AnnData(X, var=var)
+    sub = adata[:, ["g3", "g1"]]
+    np.testing.assert_allclose(sub.X, X[:, [3, 1]])
+    assert list(sub.var_names) == ["g3", "g1"]
+
+    adata_sp = AnnData(sp.csr_matrix(X), var=var)
+    sub_sp = adata_sp[:, ["g3", "g1"]]
+    np.testing.assert_allclose(sub_sp.X.toarray(), X[:, [3, 1]])
+
+
+def test_load_counts_txt_and_npz(tmp_path):
+    df = pd.DataFrame(
+        np.random.RandomState(1).binomial(30, 0.2, size=(8, 5)),
+        index=[f"c{i}" for i in range(8)],
+        columns=[f"g{j}" for j in range(5)],
+    )
+    txt = str(tmp_path / "counts.txt")
+    df.to_csv(txt, sep="\t")
+    adata = load_counts(txt)
+    assert sp.issparse(adata.X)
+    np.testing.assert_allclose(adata.X.toarray(), df.values)
+
+    npz = str(tmp_path / "counts.df.npz")
+    save_df_to_npz(df, npz)
+    adata2 = load_counts(npz, densify=True)
+    assert not sp.issparse(adata2.X)
+    np.testing.assert_allclose(adata2.X, df.values)

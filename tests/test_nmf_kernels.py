@@ -1,0 +1,131 @@
+"""Per-kernel parity tests: batched JAX NMF solvers vs sklearn (float64, CPU).
+
+The reference delegates all NMF solves to sklearn (reference cnmf.py:672), so
+sklearn is the numerical oracle: with identical inits our CD/MU solvers must
+reproduce its factors and iteration counts.
+"""
+
+import numpy as np
+import pytest
+from sklearn.decomposition import non_negative_factorization
+
+import jax.numpy as jnp
+
+from cnmf_tpu.ops.init import nndsvd_init, random_init, random_init_batch
+from cnmf_tpu.ops.nmf import (
+    nmf_coordinate_descent,
+    nmf_multiplicative_update,
+    nnls_coordinate_descent,
+    nnls_multiplicative_update,
+)
+
+
+def make_counts(n=60, g=40, seed=0):
+    rng = np.random.RandomState(seed)
+    W = rng.gamma(2.0, 1.0, size=(n, 4))
+    H = rng.gamma(2.0, 1.0, size=(4, g))
+    X = rng.poisson(W @ H).astype(np.float64) + 1e-8
+    return X
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+@pytest.mark.parametrize("k", [4, 7])
+def test_cd_matches_sklearn(seed, k):
+    X = make_counts()
+    W_sk, H_sk, n_sk = non_negative_factorization(
+        X, n_components=k, init="random", random_state=seed,
+        solver="cd", beta_loss="frobenius", tol=1e-4, max_iter=500,
+    )
+
+    W0, H0 = random_init(X, k, seed, dtype=np.float64)
+    W, Ht, n_iter = nmf_coordinate_descent(
+        jnp.asarray(X), jnp.asarray(W0[None]), jnp.asarray(H0.T[None]),
+        tol=1e-4, max_iter=500,
+    )
+    W, H = np.asarray(W[0]), np.asarray(Ht[0]).T
+
+    assert int(n_iter[0]) == n_sk
+    scale = max(H_sk.max(), 1.0)
+    assert np.max(np.abs(H - H_sk)) / scale < 1e-6
+    assert np.max(np.abs(W - W_sk)) / max(W_sk.max(), 1.0) < 1e-6
+
+
+def test_cd_batched_matches_serial():
+    X = make_counts(50, 30, seed=1)
+    k = 5
+    seeds = [11, 12, 13]
+    W0, Ht0 = random_init_batch(X, k, seeds, dtype=np.float64)
+    Wb, Htb, n_b = nmf_coordinate_descent(
+        jnp.asarray(X), jnp.asarray(W0), jnp.asarray(Ht0), tol=1e-4, max_iter=300
+    )
+    for i, seed in enumerate(seeds):
+        W_sk, H_sk, n_sk = non_negative_factorization(
+            X, n_components=k, init="random", random_state=seed,
+            solver="cd", beta_loss="frobenius", tol=1e-4, max_iter=300,
+        )
+        assert int(n_b[i]) == n_sk
+        assert np.max(np.abs(np.asarray(Htb[i]).T - H_sk)) / max(H_sk.max(), 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("beta_name,beta", [
+    ("frobenius", 2.0), ("kullback-leibler", 1.0), ("itakura-saito", 0.0),
+])
+def test_mu_matches_sklearn(beta_name, beta):
+    X = make_counts(40, 25, seed=2)
+    if beta == 0.0:
+        X = X + 0.5  # IS loss forbids zeros
+    k = 4
+    seed = 5
+    W_sk, H_sk, n_sk = non_negative_factorization(
+        X, n_components=k, init="random", random_state=seed,
+        solver="mu", beta_loss=beta_name, tol=1e-4, max_iter=200,
+    )
+    W0, H0 = random_init(X, k, seed, dtype=np.float64)
+    W, Ht, n_iter = nmf_multiplicative_update(
+        jnp.asarray(X), jnp.asarray(W0[None]), jnp.asarray(H0.T[None]),
+        beta=beta, tol=1e-4, max_iter=200, chunk=2,
+    )
+    W, H = np.asarray(W[0]), np.asarray(Ht[0]).T
+    assert int(n_iter[0]) == n_sk
+    assert np.max(np.abs(H - H_sk)) / max(H_sk.max(), 1.0) < 1e-5
+    assert np.max(np.abs(W - W_sk)) / max(W_sk.max(), 1.0) < 1e-5
+
+
+def test_nnls_cd_matches_sklearn():
+    X = make_counts(45, 30, seed=4)
+    rng = np.random.RandomState(0)
+    H = rng.gamma(2.0, 1.0, size=(6, 30))
+    W_sk, _, n_sk = non_negative_factorization(
+        X, H=H, n_components=6, update_H=False, init=None,
+        solver="cd", beta_loss="frobenius", tol=1e-4, max_iter=400,
+    )
+    W, n_iter = nnls_coordinate_descent(
+        jnp.asarray(X), jnp.asarray(H), tol=1e-4, max_iter=400
+    )
+    assert n_iter == n_sk
+    assert np.max(np.abs(np.asarray(W) - W_sk)) / max(W_sk.max(), 1.0) < 1e-6
+
+
+def test_nnls_mu_matches_sklearn():
+    X = make_counts(35, 20, seed=6)
+    rng = np.random.RandomState(2)
+    H = rng.gamma(2.0, 1.0, size=(5, 20))
+    W_sk, _, n_sk = non_negative_factorization(
+        X, H=H, n_components=5, update_H=False, init=None,
+        solver="mu", beta_loss="kullback-leibler", tol=1e-4, max_iter=300,
+    )
+    W, n_iter = nnls_multiplicative_update(
+        jnp.asarray(X), jnp.asarray(H), beta=1.0, tol=1e-4, max_iter=300, chunk=1
+    )
+    assert n_iter == n_sk
+    assert np.max(np.abs(np.asarray(W) - W_sk)) / max(W_sk.max(), 1.0) < 1e-5
+
+
+def test_nndsvd_init_reconstruction():
+    X = make_counts(30, 20, seed=7)
+    W, H = nndsvd_init(X, 4, dtype=np.float64)
+    assert (W >= 0).all() and (H >= 0).all()
+    # NNDSVD should already be a decent low-rank approximation
+    base = np.linalg.norm(X) ** 2
+    resid = np.linalg.norm(X - W @ H) ** 2
+    assert resid < base

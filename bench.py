@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Headline benchmark: PBMC-3k-scale consensus NMF, end-to-end on one chip.
+
+Workload (matches the BASELINE.md north-star config): a deterministic
+synthetic 2700 cells × 10000 genes count matrix with planted programs →
+prepare (TPM + 2000 Fano-HVGs + unit-variance scaling) → factorize (K=5..13 ×
+100 restarts = 900 NMF fits as batched device programs) → combine → consensus
+at K=10 — the same five stages the reference runs as worker-indexed sklearn
+jobs (reference cnmf.py:692-745, 823-1082).
+
+Prints ONE JSON line:
+  value        = wall-clock seconds for factorize+combine+consensus
+                 (prepare and data synthesis excluded; compile included)
+  vs_baseline  = reference-extrapolated CPU seconds / value (speedup ×).
+                 Baseline: the reference's tutorial anecdote is ~240 s for
+                 120 runs on CPU (BASELINE.md) → 2 s/run × 900 runs = 1800 s.
+
+Usage: python bench.py [--smoke]   (--smoke: tiny config for CI sanity)
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_counts(n_cells, n_genes, k_true=10, seed=7):
+    rng = np.random.RandomState(seed)
+    W = rng.gamma(0.5, 1.0, size=(n_cells, k_true))
+    H = rng.gamma(0.4, 1.0, size=(k_true, n_genes)) * (rng.rand(k_true, n_genes) < 0.15)
+    base = rng.gamma(0.3, 0.05, size=(n_genes,))  # housekeeping background
+    X = rng.poisson(W @ H + base[None, :] * 5.0).astype(np.float64)
+    X[X.sum(axis=1) == 0, 0] = 1
+    return X
+
+
+def main():
+    smoke = "--smoke" in sys.argv
+    os.environ.setdefault("CNMF_TPU_MATMUL_PRECISION", "highest")
+
+    # Persistent compilation cache: the solver programs are shape-stable
+    # (K bucketing), so everything after the first-ever run reuses compiled
+    # artifacts from the repo-local cache.
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import pandas as pd
+
+    from cnmf_tpu import cNMF
+    from cnmf_tpu.io.dataframe import save_df_to_npz
+
+    if smoke:
+        n_cells, n_genes, hvg, ks, n_iter, k_cons = 300, 800, 200, [5, 6], 10, 6
+    else:
+        n_cells, n_genes, hvg, ks, n_iter, k_cons = (
+            2700, 10000, 2000, list(range(5, 14)), 100, 10
+        )
+
+    workdir = tempfile.mkdtemp(prefix="cnmf_tpu_bench_")
+    try:
+        log(f"[bench] synthesizing {n_cells}x{n_genes} counts ...")
+        X = make_counts(n_cells, n_genes)
+        df = pd.DataFrame(
+            X,
+            index=[f"cell{i}" for i in range(n_cells)],
+            columns=[f"gene{j}" for j in range(n_genes)],
+        )
+        counts_fn = os.path.join(workdir, "counts.df.npz")
+        save_df_to_npz(df, counts_fn)
+        del df, X
+
+        obj = cNMF(output_dir=workdir, name="bench")
+        log("[bench] prepare ...")
+        t0 = time.perf_counter()
+        obj.prepare(counts_fn=counts_fn, components=ks, n_iter=n_iter, seed=14,
+                    num_highvar_genes=hvg)
+        t_prepare = time.perf_counter() - t0
+        log(f"[bench] prepare: {t_prepare:.2f}s")
+
+        t0 = time.perf_counter()
+        obj.factorize(verbose=False)
+        t_factorize = time.perf_counter() - t0
+        log(f"[bench] factorize ({len(ks)} K x {n_iter} restarts): {t_factorize:.2f}s")
+
+        t0 = time.perf_counter()
+        obj.combine()
+        t_combine = time.perf_counter() - t0
+        log(f"[bench] combine: {t_combine:.2f}s")
+
+        t0 = time.perf_counter()
+        obj.consensus(k=k_cons, density_threshold=0.5, show_clustering=False,
+                      close_clustergram_fig=True)
+        t_consensus = time.perf_counter() - t0
+        log(f"[bench] consensus(k={k_cons}): {t_consensus:.2f}s")
+
+        total = t_factorize + t_combine + t_consensus
+        n_runs = len(ks) * n_iter
+        baseline_s = 2.0 * n_runs  # reference ≈2 s/run on CPU (BASELINE.md)
+        print(json.dumps({
+            "metric": "factorize(K=%d-%d x %d)+combine+consensus(K=%d) wall, PBMC-3k-scale"
+                      % (min(ks), max(ks), n_iter, k_cons),
+            "value": round(total, 2),
+            "unit": "s",
+            "vs_baseline": round(baseline_s / total, 2),
+        }))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

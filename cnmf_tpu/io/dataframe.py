@@ -12,9 +12,15 @@ import os
 import numpy as np
 import pandas as pd
 
+# zlib-compressing hundreds of per-iteration spectra files costs more wall
+# time than the disk they save; np.load reads both formats transparently, so
+# the codec defaults to uncompressed (opt back in via CNMF_TPU_COMPRESS=1).
+_COMPRESS = os.environ.get("CNMF_TPU_COMPRESS", "0") == "1"
+
 
 def save_df_to_npz(obj: pd.DataFrame, filename: str) -> None:
-    np.savez_compressed(
+    writer = np.savez_compressed if _COMPRESS else np.savez
+    writer(
         filename,
         data=obj.values,
         index=obj.index.values,

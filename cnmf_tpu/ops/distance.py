@@ -34,20 +34,56 @@ def pairwise_euclidean(A: jax.Array, B: jax.Array = None) -> jax.Array:
     return jnp.sqrt(d2)
 
 
-@functools.partial(jax.jit, static_argnames=("n_neighbors",))
-def knn_local_density(dist: jax.Array, n_neighbors: int) -> jax.Array:
+def _sum_smallest(dist: jax.Array, count: jax.Array) -> jax.Array:
+    """Per-row sum of the ``count`` smallest entries via iterative min
+    extraction. O(count·R²) VPU work but a tiny, shape-stable program —
+    chosen over sort/top_k, whose TPU compiles are expensive and would rerun
+    for every distinct neighbor count (count is a traced scalar here)."""
+    def body(i, carry):
+        total, d = carry
+        m = jnp.min(d, axis=1)
+        total = total + m
+        is_min = d == m[:, None]
+        first = jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1
+        d = jnp.where(is_min & first, jnp.inf, d)
+        return total, d
+
+    total0 = jnp.zeros(dist.shape[0], dist.dtype)
+    total, _ = jax.lax.fori_loop(0, count, body, (total0, dist))
+    return total
+
+
+@jax.jit
+def knn_local_density(dist: jax.Array, n_neighbors: jax.Array) -> jax.Array:
     """Mean distance to the n nearest neighbors per row.
 
-    Matches the reference's estimator (cnmf.py:893-898): take the
+    Matches the reference's estimator (cnmf.py:893-898): sum the
     ``n_neighbors+1`` smallest distances per row (self included at distance 0)
-    and divide their sum by ``n_neighbors``.
-    """
-    neg_topk, _ = jax.lax.top_k(-dist, n_neighbors + 1)
-    return -jnp.sum(neg_topk, axis=1) / n_neighbors
+    and divide by ``n_neighbors``."""
+    n_neighbors = jnp.asarray(n_neighbors, jnp.int32)
+    return _sum_smallest(dist, n_neighbors + 1) / n_neighbors.astype(dist.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_neighbors",))
-def local_density_from_spectra(l2_spectra: jax.Array, n_neighbors: int) -> jax.Array:
-    """Fused distance + KNN density for L2-normalized spectra stacks."""
-    dist = pairwise_euclidean(l2_spectra)
-    return knn_local_density(dist, n_neighbors)
+@jax.jit
+def _knn_density_padded(Xp: jax.Array, n_real: jax.Array, n_neighbors: jax.Array):
+    dist = pairwise_euclidean(Xp)
+    # mask padded columns out of every neighborhood
+    col_real = jnp.arange(Xp.shape[0]) < n_real
+    dist = jnp.where(col_real[None, :], dist, jnp.inf)
+    total = _sum_smallest(dist, n_neighbors + 1)
+    return total / n_neighbors.astype(dist.dtype)
+
+
+def local_density_from_spectra(l2_spectra, n_neighbors: int):
+    """Distance + KNN density for L2-normalized spectra stacks.
+
+    The row count is padded to a multiple of 512 so the compiled program is
+    reused across K values (R = n_iter·K changes with K)."""
+    l2_spectra = jnp.asarray(l2_spectra)
+    R = l2_spectra.shape[0]
+    pad = (-R) % 512
+    Xp = jnp.pad(l2_spectra, ((0, pad), (0, 0)))
+    dens = _knn_density_padded(
+        Xp, jnp.asarray(R, jnp.int32), jnp.asarray(n_neighbors, jnp.int32)
+    )
+    return dens[:R]

@@ -46,6 +46,34 @@ MATMUL_PRECISION = os.environ.get("CNMF_TPU_MATMUL_PRECISION", "highest")
 
 
 # ----------------------------------------------------------------------
+# shared-X batched contractions
+# ----------------------------------------------------------------------
+#
+# The naive einsum ('ng,bgk->bnk') lowers to B separate (N,G)@(G,K) matmuls
+# whose K≈5-60 output columns occupy a fraction of the MXU's 128 lanes. The
+# restart batch is instead flattened into the output-column dimension —
+# (N,G) @ (G, B·K) — so the systolic array runs at full occupancy; the
+# surrounding transposes are bandwidth-cheap relative to the matmul.
+
+def _shared_x_dot(X, F):
+    """X (N,G) · F (B,G,K) → (B,N,K) via one flat (N,G)@(G,B·K) matmul."""
+    B, G, K = F.shape
+    flat = jnp.transpose(F, (1, 0, 2)).reshape(G, B * K)
+    out = jnp.dot(X, flat, preferred_element_type=F.dtype,
+                  precision=MATMUL_PRECISION)
+    return jnp.transpose(out.reshape(X.shape[0], B, K), (1, 0, 2))
+
+
+def _shared_xt_dot(X, F):
+    """Xᵀ (G,N) · F (B,N,K) → (B,G,K) via one flat matmul."""
+    B, N, K = F.shape
+    flat = jnp.transpose(F, (1, 0, 2)).reshape(N, B * K)
+    out = jnp.dot(X.T, flat, preferred_element_type=F.dtype,
+                  precision=MATMUL_PRECISION)
+    return jnp.transpose(out.reshape(X.shape[1], B, K), (1, 0, 2))
+
+
+# ----------------------------------------------------------------------
 # coordinate descent (HALS)
 # ----------------------------------------------------------------------
 
@@ -137,7 +165,7 @@ def nmf_coordinate_descent(
 
         # --- update W given H ---
         HHt = jnp.einsum("bgk,bgl->bkl", Ht, Ht, preferred_element_type=dtype, precision=MATMUL_PRECISION)
-        XHt = jnp.einsum("ng,bgk->bnk", X, Ht, preferred_element_type=dtype, precision=MATMUL_PRECISION)
+        XHt = _shared_x_dot(X, Ht)
         W_new, viol_w = _cd_half_sweep(W, HHt, XHt, l1_reg_W, l2_reg_W)
 
         # --- update H given W ---
@@ -145,7 +173,7 @@ def nmf_coordinate_descent(
             WtW = jnp.einsum(
                 "bnk,bnl->bkl", W_new, W_new, preferred_element_type=dtype, precision=MATMUL_PRECISION
             )
-            XtW = jnp.einsum("ng,bnk->bgk", X, W_new, preferred_element_type=dtype, precision=MATMUL_PRECISION)
+            XtW = _shared_xt_dot(X, W_new)
             Ht_new, viol_h = _cd_half_sweep(Ht, WtW, XtW, l1_reg_H, l2_reg_H)
         else:
             Ht_new, viol_h = Ht, jnp.zeros_like(viol_w)
@@ -196,7 +224,7 @@ def frobenius_error(X, W, Ht, XHt: Optional[jax.Array] = None):
     """sqrt(||X - WH||²_F) per restart, computed via K×K grams."""
     X_sq = jnp.sum(X * X)
     if XHt is None:
-        XHt = jnp.einsum("ng,bgk->bnk", X, Ht, preferred_element_type=W.dtype, precision=MATMUL_PRECISION)
+        XHt = _shared_x_dot(X, Ht)
     cross = jnp.einsum("bnk,bnk->b", W, XHt)
     sq = _frobenius_error_gram(X_sq, W, Ht) - 2.0 * cross
     return jnp.sqrt(jnp.maximum(sq, 0.0))
@@ -283,7 +311,7 @@ def _mu_update_w(X, W, Ht, beta: float, gamma: float,
                  l1_reg: float, l2_reg: float, chunk: int):
     dtype = W.dtype
     if beta == 2:
-        XHt = jnp.einsum("ng,bgk->bnk", X, Ht, preferred_element_type=dtype, precision=MATMUL_PRECISION)
+        XHt = _shared_x_dot(X, Ht)
         HHt = jnp.einsum("bgk,bgl->bkl", Ht, Ht, preferred_element_type=dtype, precision=MATMUL_PRECISION)
         numerator = XHt
         denominator = jnp.einsum("bnk,bkl->bnl", W, HHt, preferred_element_type=dtype, precision=MATMUL_PRECISION)
@@ -347,7 +375,7 @@ def _mu_update_h(X, W, Ht, beta: float, gamma: float,
                  l1_reg: float, l2_reg: float, chunk: int):
     dtype = W.dtype
     if beta == 2:
-        numerator = jnp.einsum("ng,bnk->bgk", X, W, preferred_element_type=dtype, precision=MATMUL_PRECISION)
+        numerator = _shared_xt_dot(X, W)
         WtW = jnp.einsum("bnk,bnl->bkl", W, W, preferred_element_type=dtype, precision=MATMUL_PRECISION)
         denominator = jnp.einsum("bgk,bkl->bgl", Ht, WtW, preferred_element_type=dtype, precision=MATMUL_PRECISION)
     else:

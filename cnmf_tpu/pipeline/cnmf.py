@@ -326,8 +326,13 @@ class cNMF:
 
         gene_index = norm_counts.var.index
         sub = run_params.iloc[jobs]
+        # Zero-padding K to a bucket (next multiple of 8) is an exact no-op for
+        # both solvers — CD skips columns whose gram diagonal is 0 and MU keeps
+        # zero factors at zero — so every K in a bucket shares one compiled
+        # program instead of one XLA compilation per K.
         for k, group in sub.groupby("n_components", sort=True):
             k = int(k)
+            pad_k = -(-k // 8) * 8
             seeds = group["nmf_seed"].values
             iters = group["iter"].values
             if verbose:
@@ -336,10 +341,12 @@ class cNMF:
                     % (worker_i, k, len(seeds))
                 )
             spectra_batch = self._factorize_one_k(
-                Xd, X, k, seeds, _nmf_kwargs,
+                Xd, X, k, seeds, _nmf_kwargs, pad_k=pad_k,
                 restart_chunk=restart_chunk, use_mesh=use_mesh,
             )
-            for i, it in enumerate(iters):
+
+            def write_one(args):
+                i, it = args
                 spectra = pd.DataFrame(
                     spectra_batch[i].astype(np.float64),
                     index=np.arange(1, k + 1),
@@ -347,16 +354,24 @@ class cNMF:
                 )
                 save_df_to_npz(spectra, self.paths["iter_spectra"] % (k, it))
 
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(write_one, enumerate(iters)))
+
     def _factorize_one_k(
-        self, Xd, X_host, k, seeds, nmf_kwargs,
+        self, Xd, X_host, k, seeds, nmf_kwargs, pad_k=None,
         restart_chunk=None, use_mesh=True,
     ) -> np.ndarray:
         """All restarts for one K: init on host (sklearn-RNG-compatible),
-        solve batched on device. Returns spectra (B, k, G)."""
+        solve batched on device. Returns spectra (B, k, G).
+
+        ``pad_k``: zero-pad the component axis to this width so different K
+        values reuse one compiled program (exact no-op, see factorize())."""
         init = nmf_kwargs.get("init", "random")
         dtype = self.compute_dtype
         B = len(seeds)
         chunk = restart_chunk or B
+        pad_k = pad_k or k
 
         out = []
         for start in range(0, B, chunk):
@@ -372,6 +387,10 @@ class cNMF:
             else:
                 raise ValueError(f"unsupported init: {init}")
 
+            if pad_k > k:
+                W0 = np.pad(W0, ((0, 0), (0, 0), (0, pad_k - k)))
+                Ht0 = np.pad(Ht0, ((0, 0), (0, 0), (0, pad_k - k)))
+
             mesh = None
             if use_mesh and len(jax.devices()) > 1:
                 mesh = build_mesh()
@@ -385,7 +404,7 @@ class cNMF:
                 W, Ht, n_iter = solve_nmf_batch(
                     Xd, jnp.asarray(W0), jnp.asarray(Ht0), nmf_kwargs
                 )
-            out.append(np.asarray(Ht).transpose(0, 2, 1))  # (B, k, G)
+            out.append(np.asarray(Ht[:, :, :k]).transpose(0, 2, 1))  # (B, k, G)
         return np.concatenate(out, axis=0)
 
     def factorize_multi_process(self, total_workers=None):
@@ -440,10 +459,13 @@ class cNMF:
         stack with ``iter{r}_topic{t}`` row labels (reference cnmf.py:748-773)."""
         import errno
 
+        from concurrent.futures import ThreadPoolExecutor
+
         run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
         print("Combining factorizations for k=%d." % k)
         run_params_subset = run_params[run_params.n_components == k].sort_values("iter")
-        combined_spectra = []
+
+        files = []
         for _, p in run_params_subset.iterrows():
             current_file = self.paths["iter_spectra"] % (p["n_components"], p["iter"])
             if not os.path.exists(current_file):
@@ -457,16 +479,22 @@ class cNMF:
                     )
                 print("Missing file: %s. Skipping." % current_file)
             else:
-                spectra = load_df_from_npz(current_file)
-                spectra.index = [
-                    "iter%d_topic%d" % (p["iter"], t + 1) for t in range(k)
-                ]
-                combined_spectra.append(spectra)
-        if len(combined_spectra) > 0:
-            combined_spectra = pd.concat(combined_spectra, axis=0)
-            save_df_to_npz(combined_spectra, self.paths["merged_spectra"] % k)
-        else:
+                files.append((int(p["iter"]), current_file))
+
+        if len(files) == 0:
             print("No spectra found for k=%d" % k)
+            return []
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            frames = list(pool.map(lambda f: load_df_from_npz(f[1]), files))
+        values = np.concatenate([f.values for f in frames], axis=0)
+        index = [
+            "iter%d_topic%d" % (it, t + 1) for (it, _) in files for t in range(k)
+        ]
+        combined_spectra = pd.DataFrame(
+            values, index=index, columns=frames[0].columns
+        )
+        save_df_to_npz(combined_spectra, self.paths["merged_spectra"] % k)
         return combined_spectra
 
     # ==================================================================

@@ -129,3 +129,37 @@ def test_nndsvd_init_reconstruction():
     base = np.linalg.norm(X) ** 2
     resid = np.linalg.norm(X - W @ H) ** 2
     assert resid < base
+
+
+def test_k_padding_exact_noop():
+    """Zero-padding the component axis must not change solver results: CD
+    skips zero-hessian columns, MU keeps zero factors at zero."""
+    X = make_counts(40, 30, seed=9)
+    k, pad_k = 5, 8
+    W0, H0 = random_init(X, k, 21, dtype=np.float64)
+    W0p = np.pad(W0, ((0, 0), (0, pad_k - k)))
+    Ht0p = np.pad(H0.T, ((0, 0), (0, pad_k - k)))
+
+    W, Ht, n = nmf_coordinate_descent(
+        jnp.asarray(X), jnp.asarray(W0[None]), jnp.asarray(H0.T[None]),
+        tol=1e-4, max_iter=300,
+    )
+    Wp, Htp, np_ = nmf_coordinate_descent(
+        jnp.asarray(X), jnp.asarray(W0p[None]), jnp.asarray(Ht0p[None]),
+        tol=1e-4, max_iter=300,
+    )
+    assert int(n[0]) == int(np_[0])
+    np.testing.assert_allclose(np.asarray(Wp[0, :, :k]), np.asarray(W[0]), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Htp[0, :, k:]), 0.0)
+
+    Wm, Htm, nm = nmf_multiplicative_update(
+        jnp.asarray(X), jnp.asarray(W0[None]), jnp.asarray(H0.T[None]),
+        beta=1.0, tol=1e-4, max_iter=100, chunk=1,
+    )
+    Wmp, Htmp, nmp = nmf_multiplicative_update(
+        jnp.asarray(X), jnp.asarray(W0p[None]), jnp.asarray(Ht0p[None]),
+        beta=1.0, tol=1e-4, max_iter=100, chunk=1,
+    )
+    assert int(nm[0]) == int(nmp[0])
+    np.testing.assert_allclose(np.asarray(Wmp[0, :, :k]), np.asarray(Wm[0]), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Htmp[0, :, k:]), 0.0)

@@ -141,6 +141,25 @@ def _read_categorical(group: h5py.Group) -> pd.Categorical:
     )
 
 
+def _read_dataframe_legacy(node: h5py.Dataset) -> pd.DataFrame:
+    """Pre-anndata-0.8 layout: obs/var stored as one structured-record
+    dataset with an 'index' (or '_index') field."""
+    rec = node[()]
+    names = rec.dtype.names or ()
+    index_key = "index" if "index" in names else "_index"
+    data = {}
+    index = None
+    for name in names:
+        col = _decode_strings(np.asarray(rec[name]))
+        if name == index_key:
+            index = pd.Index(col)
+        else:
+            data[name] = col
+    if index is None:
+        index = pd.RangeIndex(len(rec)).astype(str)
+    return pd.DataFrame(data, index=index)
+
+
 def _read_dataframe(group: h5py.Group) -> pd.DataFrame:
     enc = group.attrs.get("encoding-type", "")
     index_key = group.attrs.get("_index", "_index")
@@ -173,7 +192,14 @@ def _read_x(node):
         enc = node.attrs.get("encoding-type", "")
         if isinstance(enc, bytes):
             enc = enc.decode("utf-8")
-        shape = tuple(int(s) for s in np.asarray(node.attrs["shape"]).ravel())
+        if not enc and "h5sparse_format" in node.attrs:
+            # legacy h5sparse layout
+            fmt = node.attrs["h5sparse_format"]
+            fmt = fmt.decode("utf-8") if isinstance(fmt, bytes) else fmt
+            enc = f"{fmt}_matrix"
+            shape = tuple(int(s) for s in np.asarray(node.attrs["h5sparse_shape"]).ravel())
+        else:
+            shape = tuple(int(s) for s in np.asarray(node.attrs["shape"]).ravel())
         data = node["data"][()]
         indices = node["indices"][()]
         indptr = node["indptr"][()]
@@ -205,7 +231,16 @@ def _read_mapping(group: h5py.Group) -> dict:
 def read_h5ad(filename: str) -> AnnData:
     with h5py.File(filename, "r") as f:
         X = _read_x(f["X"])
-        obs = _read_dataframe(f["obs"]) if "obs" in f else None
-        var = _read_dataframe(f["var"]) if "var" in f else None
+
+        def read_df(key):
+            if key not in f:
+                return None
+            node = f[key]
+            if isinstance(node, h5py.Dataset):
+                return _read_dataframe_legacy(node)
+            return _read_dataframe(node)
+
+        obs = read_df("obs")
+        var = read_df("var")
         uns = _read_mapping(f["uns"]) if "uns" in f else {}
     return AnnData(X, obs=obs, var=var, uns=uns)

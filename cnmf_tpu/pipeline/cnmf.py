@@ -51,6 +51,7 @@ from cnmf_tpu.ops.stats import get_highvar_genes, mean_var
 from cnmf_tpu.parallel.mesh import build_mesh, pad_to_multiple, shard_factorize_inputs
 from cnmf_tpu.pipeline.paths import build_paths
 from cnmf_tpu.pipeline.plots import clustergram, k_selection_figure
+from cnmf_tpu.utils.timing import timed
 from cnmf_tpu.pipeline.solvers import refit_usages, solve_nmf_batch
 
 
@@ -94,6 +95,7 @@ class cNMF:
     # prepare
     # ==================================================================
 
+    @timed("prepare")
     def prepare(
         self,
         counts_fn,
@@ -283,6 +285,7 @@ class cNMF:
     # factorize
     # ==================================================================
 
+    @timed("factorize")
     def factorize(
         self,
         worker_i=0,
@@ -443,6 +446,7 @@ class cNMF:
     # combine
     # ==================================================================
 
+    @timed("combine")
     def combine(self, components=None, skip_missing_files=False):
         if type(components) is int:
             ks = [components]
@@ -533,6 +537,7 @@ class cNMF:
     # consensus
     # ==================================================================
 
+    @timed("consensus")
     def consensus(
         self,
         k,
@@ -762,6 +767,7 @@ class cNMF:
     # k selection
     # ==================================================================
 
+    @timed("k_selection_plot")
     def k_selection_plot(self, close_fig=False):
         """Stability (silhouette) vs reconstruction-error K sweep
         (reference cnmf.py:1119-1158; Alexandrov et al. 2013)."""

@@ -88,6 +88,19 @@ class Preprocess:
         _adata.obs = _adata.obs.copy()
         _adata.obs["n_counts"] = np.asarray(_adata.X.sum(axis=1)).squeeze()
 
+        if makeplots:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots()
+            ax.hist(np.log10(np.maximum(_adata.obs["n_counts"].values, 1)), bins=100)
+            ax.set_title("log10 n_counts")
+            ylim = ax.get_ylim()
+            if min_cells_per_gene:
+                ax.vlines(x=np.log10(min_cells_per_gene), ymin=ylim[0], ymax=ylim[1])
+            ax.set_ylim(ylim)
+
         if min_counts_per_cell is not None:
             _adata = _adata[np.asarray(_adata.obs["n_counts"] >= min_counts_per_cell), :]
 
@@ -97,6 +110,12 @@ class Preprocess:
                 if mt_genes else np.zeros(_adata.n_obs)
             pct_mito = num_mito / _adata.obs["n_counts"].values
             _adata.obs["pct_mito"] = pct_mito
+            if makeplots:
+                import matplotlib.pyplot as plt
+
+                fig, ax = plt.subplots()
+                ax.hist(pct_mito, bins=100)
+                ax.set_title("pct_mito")
             _adata = _adata[np.asarray(pct_mito < filter_mito_thresh), :]
 
         tofilter: List[str] = []

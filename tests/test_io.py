@@ -84,3 +84,33 @@ def test_load_counts_txt_and_npz(tmp_path):
     adata2 = load_counts(npz, densify=True)
     assert not sp.issparse(adata2.X)
     np.testing.assert_allclose(adata2.X, df.values)
+
+
+def test_h5ad_legacy_format_read(tmp_path):
+    """Pre-anndata-0.8 files: structured-record obs/var + h5sparse X."""
+    import h5py
+
+    rng = np.random.RandomState(2)
+    X = sp.csr_matrix(rng.binomial(10, 0.2, size=(12, 7)).astype(np.float32))
+    fn = str(tmp_path / "legacy.h5ad")
+    with h5py.File(fn, "w") as f:
+        g = f.create_group("X")
+        g.attrs["h5sparse_format"] = "csr"
+        g.attrs["h5sparse_shape"] = np.array(X.shape)
+        g.create_dataset("data", data=X.data)
+        g.create_dataset("indices", data=X.indices)
+        g.create_dataset("indptr", data=X.indptr)
+        obs_rec = np.array(
+            [(f"c{i}".encode(), float(i)) for i in range(12)],
+            dtype=[("index", "S8"), ("n_counts", "f8")],
+        )
+        f.create_dataset("obs", data=obs_rec)
+        var_rec = np.array(
+            [(f"g{j}".encode(),) for j in range(7)], dtype=[("index", "S8")]
+        )
+        f.create_dataset("var", data=var_rec)
+    back = read_h5ad(fn)
+    np.testing.assert_allclose(back.X.toarray(), X.toarray())
+    assert list(back.obs.index) == [f"c{i}" for i in range(12)]
+    np.testing.assert_allclose(back.obs["n_counts"].values, np.arange(12.0))
+    assert list(back.var.index) == [f"g{j}" for j in range(7)]

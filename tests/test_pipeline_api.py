@@ -1,0 +1,115 @@
+"""API-surface tests: resume/elasticity semantics, load_results, refits,
+timing registry (reference behaviors from cnmf.py:636-651, 729-733, 1161-1210)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cnmf_tpu import cNMF
+from cnmf_tpu.io.dataframe import load_df_from_npz
+from cnmf_tpu.utils.timing import timings
+
+
+@pytest.fixture(scope="module")
+def run(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("api")
+    rng = np.random.RandomState(9)
+    W = rng.gamma(0.7, 1.0, size=(150, 5))
+    H = rng.gamma(0.5, 1.0, size=(5, 200)) * (rng.rand(5, 200) < 0.35)
+    X = rng.poisson(W @ H * 2.0).astype(float)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(X, index=[f"c{i}" for i in range(150)],
+                      columns=[f"g{j}" for j in range(200)])
+    fn = str(tmp_path / "counts.txt")
+    df.to_csv(fn, sep="\t")
+    obj = cNMF(output_dir=str(tmp_path), name="api")
+    obj.prepare(counts_fn=fn, components=[5], n_iter=6, seed=2, num_highvar_genes=120)
+    obj.factorize(verbose=False)
+    obj.combine()
+    obj.consensus(k=5, density_threshold=0.5, show_clustering=False)
+    return obj
+
+
+def test_update_nmf_iter_params_rescans_disk(run):
+    victim = run.paths["iter_spectra"] % (5, 2)
+    os.rename(victim, victim + ".bak")
+    try:
+        run.update_nmf_iter_params()
+        params = load_df_from_npz(run.paths["nmf_replicate_parameters"])
+        assert not params.loc[params["iter"] == 2, "completed"].iloc[0]
+        assert params.loc[params["iter"] == 3, "completed"].iloc[0]
+    finally:
+        os.rename(victim + ".bak", victim)
+
+
+def test_skip_completed_runs_only_redoes_missing(run):
+    victim = run.paths["iter_spectra"] % (5, 4)
+    os.remove(victim)
+    run.update_nmf_iter_params()
+    others_mtime = {
+        i: os.path.getmtime(run.paths["iter_spectra"] % (5, i))
+        for i in [0, 1, 2, 3, 5]
+    }
+    run.factorize(skip_completed_runs=True, verbose=False)
+    assert os.path.exists(victim)
+    for i, mtime in others_mtime.items():
+        assert os.path.getmtime(run.paths["iter_spectra"] % (5, i)) == mtime
+
+
+def test_load_results(run):
+    usage, scores, tpm, top_genes = run.load_results(K=5, density_threshold=0.5,
+                                                     n_top_genes=10)
+    assert usage.shape == (150, 5)
+    np.testing.assert_allclose(usage.sum(axis=1), 1.0, rtol=1e-9)
+    assert scores.shape[1] == 5 and tpm.shape[1] == 5
+    assert scores.shape[0] == 200  # genes × GEPs after transpose
+    assert top_genes.shape == (10, 5)
+    # top genes are the argmax-z-score genes of each GEP
+    for gep in scores.columns:
+        assert top_genes[gep].iloc[0] == scores[gep].idxmax()
+
+
+def test_refit_usage_dataframe_roundtrip(run):
+    spectra = load_df_from_npz(run.paths["consensus_spectra"] % (5, "0_5"))
+    from cnmf_tpu.io.h5ad import read_h5ad
+
+    norm = read_h5ad(run.paths["normalized_counts"])
+    Xdf = pd.DataFrame(
+        np.asarray(norm.X.todense()) if hasattr(norm.X, "todense") else norm.X,
+        index=norm.obs.index, columns=norm.var.index,
+    )
+    ru = run.refit_usage(Xdf, spectra)
+    assert isinstance(ru, pd.DataFrame)
+    assert list(ru.index) == list(Xdf.index)
+    assert list(ru.columns) == list(spectra.index)
+    rs = run.refit_spectra(Xdf, ru)
+    assert rs.shape == spectra.shape
+
+
+def test_nmf_compat_method(run):
+    """_nmf mirrors the reference's (spectra, usages) convention."""
+    import yaml
+
+    kwargs = yaml.load(open(run.paths["nmf_run_parameters"]), Loader=yaml.FullLoader)
+    kwargs = dict(kwargs, n_components=4, random_state=11)
+    rng = np.random.RandomState(0)
+    X = rng.gamma(1.0, 1.0, (40, 30))
+    spectra, usages = run._nmf(X, kwargs)
+    assert spectra.shape == (4, 30) and usages.shape == (40, 4)
+    err = np.linalg.norm(X - usages @ spectra) / np.linalg.norm(X)
+    assert err < 0.9
+
+
+def test_stage_timings_recorded(run):
+    t = timings()
+    for stage in ["prepare", "factorize", "combine", "consensus"]:
+        assert stage in t and len(t[stage]) >= 1
+
+
+def test_auto_name_format(tmp_path):
+    obj = cNMF(output_dir=str(tmp_path))
+    import re
+
+    assert re.match(r"\d{4}_\d{2}_\d{2}_[0-9a-f]{6}$", obj.name)

@@ -87,6 +87,12 @@ def main():
         t_prepare = time.perf_counter() - t0
         log(f"[bench] prepare: {t_prepare:.2f}s")
 
+        # absorb the one-time device-link setup outside the timed region
+        import jax.numpy as jnp
+        t0 = time.perf_counter()
+        float(jnp.zeros(()))
+        log(f"[bench] device warmup: {time.perf_counter() - t0:.2f}s")
+
         t0 = time.perf_counter()
         obj.factorize(verbose=False)
         t_factorize = time.perf_counter() - t0

@@ -207,6 +207,160 @@ def nmf_coordinate_descent(
     return W, Ht, n_iter
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "seg_len", "tol", "update_H", "l1_reg_W", "l1_reg_H",
+        "l2_reg_W", "l2_reg_H",
+    ),
+)
+def nmf_cd_segment(
+    X, W, Ht, violation_init, n_iter, done, it0, *,
+    seg_len: int, tol: float = 1e-4, update_H: bool = True,
+    l1_reg_W: float = 0.0, l1_reg_H: float = 0.0,
+    l2_reg_W: float = 0.0, l2_reg_H: float = 0.0,
+):
+    """Run up to ``seg_len`` CD sweeps from a resumable state.
+
+    Same math as nmf_coordinate_descent, but the convergence state
+    (violation_init, per-restart sweep counts, done mask) is carried in and
+    out so a host wrapper can compact away converged restarts between
+    segments. ``it0`` is the global sweep offset (sweep 0 defines
+    violation_init)."""
+    dtype = W.dtype
+
+    def cond(state):
+        j, done, *_ = state
+        return jnp.logical_and(j < seg_len, jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        j, done, W, Ht, violation_init, n_iter = state
+        git = it0 + j
+
+        HHt = jnp.einsum("bgk,bgl->bkl", Ht, Ht, preferred_element_type=dtype,
+                         precision=MATMUL_PRECISION)
+        XHt = _shared_x_dot(X, Ht)
+        W_new, viol_w = _cd_half_sweep(W, HHt, XHt, l1_reg_W, l2_reg_W)
+
+        if update_H:
+            WtW = jnp.einsum("bnk,bnl->bkl", W_new, W_new,
+                             preferred_element_type=dtype,
+                             precision=MATMUL_PRECISION)
+            XtW = _shared_xt_dot(X, W_new)
+            Ht_new, viol_h = _cd_half_sweep(Ht, WtW, XtW, l1_reg_H, l2_reg_H)
+        else:
+            Ht_new, viol_h = Ht, jnp.zeros_like(viol_w)
+
+        violation = viol_w + viol_h
+        violation_init = jnp.where(git == 0, violation, violation_init)
+
+        keep = jnp.logical_not(done)
+        W = jnp.where(keep[:, None, None], W_new, W)
+        Ht = jnp.where(keep[:, None, None], Ht_new, Ht)
+        n_iter = jnp.where(keep, git + 1, n_iter)
+
+        newly_done = jnp.where(
+            violation_init == 0, True,
+            violation / jnp.maximum(violation_init, EPSILON) <= tol,
+        )
+        done = jnp.logical_or(done, newly_done)
+        return j + 1, done, W, Ht, violation_init, n_iter
+
+    state0 = (jnp.zeros((), jnp.int32), done, W, Ht, violation_init, n_iter)
+    _, done, W, Ht, violation_init, n_iter = jax.lax.while_loop(cond, body, state0)
+    return W, Ht, violation_init, n_iter, done
+
+
+def nmf_coordinate_descent_compacted(
+    X, W0, Ht0, *, tol: float = 1e-4, max_iter: int = 200,
+    update_H: bool = True, l1_reg_W: float = 0.0, l1_reg_H: float = 0.0,
+    l2_reg_W: float = 0.0, l2_reg_H: float = 0.0,
+    seg_len: int = 250, bucket: int = 32,
+):
+    """CD with between-segment restart compaction.
+
+    Restarts converge at very different sweep counts (tens to max_iter); the
+    plain batched solver pays the slowest restart's cost for the whole batch.
+    This wrapper solves in ``seg_len``-sweep segments, pulls the done mask to
+    the host between segments, and re-batches the active restarts. Exactly
+    two batch shapes ever compile — the full batch and ``bucket`` (used once
+    the stragglers fit in it) — keeping the XLA program count bounded.
+    Results are bit-identical to the plain solver: frozen restarts never
+    update, and padding slots are marked done from the start.
+    """
+    X = jnp.asarray(X)
+    B = W0.shape[0]
+    dtype = np.asarray(W0).dtype
+    out_W = np.empty(W0.shape, dtype)
+    out_Ht = np.empty(Ht0.shape, dtype)
+    out_n = np.zeros(B, np.int32)
+
+    # all solver state stays on device between segments — only the tiny done
+    # mask and sweep counts cross the host boundary, plus each restart's
+    # factors exactly once when it finishes (same total bytes as the plain
+    # solver's final fetch, which matters on links where HBM↔host is slow)
+    Wd = jnp.asarray(W0)
+    Htd = jnp.asarray(Ht0)
+    vd = jnp.zeros(B, Wd.dtype)
+    nd = jnp.zeros(B, jnp.int32)
+    dd = jnp.zeros(B, bool)
+
+    active = np.arange(B)
+    it = 0
+    while len(active) > 0 and it < max_iter:
+        seg = min(seg_len, max_iter - it)
+        Wd, Htd, vd, nd, dd = nmf_cd_segment(
+            X, Wd, Htd, vd, nd, dd, jnp.asarray(it, jnp.int32),
+            seg_len=seg, tol=tol, update_H=update_H,
+            l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+            l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+        )
+        it += seg
+        if it >= max_iter:
+            break
+
+        done_h = np.asarray(dd)
+        a = len(active)
+        live_rows = ~done_h[:a] if len(done_h) >= a else ~done_h
+        # positions in the CURRENT batch that are real (not padding)
+        real = np.arange(a)
+        finished_rows = real[done_h[:a]]
+        if finished_rows.size:
+            n_h = np.asarray(nd)
+            out_W[active[done_h[:a]]] = np.asarray(Wd[finished_rows])
+            out_Ht[active[done_h[:a]]] = np.asarray(Htd[finished_rows])
+            out_n[active[done_h[:a]]] = n_h[finished_rows]
+        still_rows = real[live_rows]
+        active = active[live_rows]
+        if len(active) == 0:
+            break
+        if finished_rows.size == 0:
+            continue
+
+        # re-batch the survivors on device: two shapes only (full B or bucket)
+        a2 = len(active)
+        target = bucket if a2 <= bucket and B > bucket else B
+        pad = target - a2
+        gather = np.concatenate([still_rows, still_rows[:1].repeat(pad)]) if pad \
+            else still_rows
+        gd = jnp.asarray(gather)
+        Wd = jnp.take(Wd, gd, axis=0)
+        Htd = jnp.take(Htd, gd, axis=0)
+        vd = jnp.take(vd, gd)
+        nd = jnp.take(nd, gd)
+        dd = jnp.asarray(np.concatenate([np.zeros(a2, bool), np.ones(pad, bool)]))
+
+    if len(active) > 0:
+        done_h = np.asarray(dd)
+        n_h = np.asarray(nd)
+        a = len(active)
+        out_W[active] = np.asarray(Wd[:a])
+        out_Ht[active] = np.asarray(Htd[:a])
+        out_n[active] = n_h[:a]
+
+    return out_W, out_Ht, out_n
+
+
 # ----------------------------------------------------------------------
 # beta divergence
 # ----------------------------------------------------------------------
@@ -296,10 +450,20 @@ def _beta_divergence_chunked(X, W, Ht, beta: float, chunk: int):
     return jnp.sqrt(jnp.maximum(2.0 * divs, 0.0))
 
 
-def beta_divergence_error(X, W, Ht, beta: float, chunk: int = 8):
+def beta_divergence_error(X, W, Ht, beta: float, chunk: int = 8,
+                          use_pallas: bool = False):
     """sqrt(2·beta_div(X, WH)) per restart (sklearn square_root=True)."""
     if beta == 2:
         return frobenius_error(X, W, Ht)
+    if beta == 1 and use_pallas:
+        from cnmf_tpu.ops.pallas_mu import kl_x_log_wh
+
+        mask = X > EPSILON
+        sum_X = jnp.sum(jnp.where(mask, X, 0.0))
+        X_log_X = jnp.sum(jnp.where(mask, X * jnp.log(jnp.maximum(X, EPSILON)), 0.0))
+        sum_WH = jnp.einsum("bnk,bgk->b", W, Ht)
+        divs = -kl_x_log_wh(X, W, Ht) + X_log_X - sum_X + sum_WH
+        return jnp.sqrt(jnp.maximum(2.0 * divs, 0.0))
     return _beta_divergence_chunked(X, W, Ht, beta, chunk)
 
 
@@ -308,13 +472,20 @@ def beta_divergence_error(X, W, Ht, beta: float, chunk: int = 8):
 # ----------------------------------------------------------------------
 
 def _mu_update_w(X, W, Ht, beta: float, gamma: float,
-                 l1_reg: float, l2_reg: float, chunk: int):
+                 l1_reg: float, l2_reg: float, chunk: int,
+                 use_pallas: bool = False):
     dtype = W.dtype
     if beta == 2:
         XHt = _shared_x_dot(X, Ht)
         HHt = jnp.einsum("bgk,bgl->bkl", Ht, Ht, preferred_element_type=dtype, precision=MATMUL_PRECISION)
         numerator = XHt
         denominator = jnp.einsum("bnk,bkl->bnl", W, HHt, preferred_element_type=dtype, precision=MATMUL_PRECISION)
+    elif beta == 1 and use_pallas:
+        from cnmf_tpu.ops.pallas_mu import kl_mu_w_numerator
+
+        numerator = kl_mu_w_numerator(X, W, Ht)
+        h_sum = jnp.sum(Ht, axis=1)  # (B, K)
+        denominator = jnp.broadcast_to(h_sum[:, None, :], numerator.shape)
     else:
         numerator, denominator = _mu_w_terms_chunked(X, W, Ht, beta, chunk)
 
@@ -372,12 +543,20 @@ def _mu_w_terms_chunked(X, W, Ht, beta: float, chunk: int):
 
 
 def _mu_update_h(X, W, Ht, beta: float, gamma: float,
-                 l1_reg: float, l2_reg: float, chunk: int):
+                 l1_reg: float, l2_reg: float, chunk: int,
+                 use_pallas: bool = False):
     dtype = W.dtype
     if beta == 2:
         numerator = _shared_xt_dot(X, W)
         WtW = jnp.einsum("bnk,bnl->bkl", W, W, preferred_element_type=dtype, precision=MATMUL_PRECISION)
         denominator = jnp.einsum("bgk,bkl->bgl", Ht, WtW, preferred_element_type=dtype, precision=MATMUL_PRECISION)
+    elif beta == 1 and use_pallas:
+        from cnmf_tpu.ops.pallas_mu import kl_mu_h_numerator
+
+        numerator = kl_mu_h_numerator(X, W, Ht)
+        w_sum = jnp.sum(W, axis=1)  # (B, K)
+        w_sum = jnp.where(w_sum == 0, 1.0, w_sum)
+        denominator = jnp.broadcast_to(w_sum[:, None, :], numerator.shape)
     else:
         numerator, denominator = _mu_h_terms_chunked(X, W, Ht, beta, chunk)
 
@@ -437,7 +616,7 @@ def _mu_h_terms_chunked(X, W, Ht, beta: float, chunk: int):
     jax.jit,
     static_argnames=(
         "beta", "tol", "max_iter", "update_H", "l1_reg_W", "l1_reg_H",
-        "l2_reg_W", "l2_reg_H", "chunk",
+        "l2_reg_W", "l2_reg_H", "chunk", "use_pallas",
     ),
 )
 def nmf_multiplicative_update(
@@ -454,6 +633,7 @@ def nmf_multiplicative_update(
     l2_reg_W: float = 0.0,
     l2_reg_H: float = 0.0,
     chunk: int = 8,
+    use_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched beta-divergence NMF via multiplicative updates.
 
@@ -472,7 +652,7 @@ def nmf_multiplicative_update(
     else:
         gamma = 1.0
 
-    error_init = beta_divergence_error(X, W0, Ht0, beta, chunk)
+    error_init = beta_divergence_error(X, W0, Ht0, beta, chunk, use_pallas)
 
     def cond(state):
         it, done, *_ = state
@@ -480,11 +660,11 @@ def nmf_multiplicative_update(
 
     def body(state):
         it, done, W, Ht, prev_error, n_iter = state
-        W_new = _mu_update_w(X, W, Ht, beta, gamma, l1_reg_W, l2_reg_W, chunk)
+        W_new = _mu_update_w(X, W, Ht, beta, gamma, l1_reg_W, l2_reg_W, chunk, use_pallas)
         if beta < 1:
             W_new = jnp.where(W_new < eps64, 0.0, W_new)
         if update_H:
-            Ht_new = _mu_update_h(X, W_new, Ht, beta, gamma, l1_reg_H, l2_reg_H, chunk)
+            Ht_new = _mu_update_h(X, W_new, Ht, beta, gamma, l1_reg_H, l2_reg_H, chunk, use_pallas)
             if beta <= 1:
                 Ht_new = jnp.where(Ht_new < eps64, 0.0, Ht_new)
         else:
@@ -498,7 +678,7 @@ def nmf_multiplicative_update(
 
         def check(args):
             done, prev_error = args
-            error = beta_divergence_error(X, W, Ht, beta, chunk).astype(dtype)
+            error = beta_divergence_error(X, W, Ht, beta, chunk, use_pallas).astype(dtype)
             newly_done = (prev_error - error) / jnp.maximum(error_init, EPSILON) < tol
             return jnp.logical_or(done, newly_done), error
 

@@ -321,6 +321,11 @@ class cNMF:
         if len(jobs) == 0:
             return
 
+        # first device->host transfer of a process can pay a large one-time
+        # link-setup cost on some TPU runtimes; absorb it on 4 bytes here
+        # rather than on the first spectra fetch
+        float(jnp.zeros(()))
+
         X = norm_counts.X
         if sp.issparse(X):
             X = np.asarray(X.todense())
@@ -370,6 +375,9 @@ class cNMF:
 
         ``pad_k``: zero-pad the component axis to this width so different K
         values reuse one compiled program (exact no-op, see factorize())."""
+        import time as _time
+
+        trace = os.environ.get("CNMF_TPU_TIMINGS", "0") == "1"
         init = nmf_kwargs.get("init", "random")
         dtype = self.compute_dtype
         B = len(seeds)
@@ -378,6 +386,7 @@ class cNMF:
 
         out = []
         for start in range(0, B, chunk):
+            _t0 = _time.perf_counter()
             chunk_seeds = seeds[start:start + chunk]
             if init == "random":
                 W0, Ht0 = random_init_batch(X_host, k, chunk_seeds, dtype=dtype)
@@ -394,6 +403,7 @@ class cNMF:
                 W0 = np.pad(W0, ((0, 0), (0, 0), (0, pad_k - k)))
                 Ht0 = np.pad(Ht0, ((0, 0), (0, 0), (0, pad_k - k)))
 
+            _t1 = _time.perf_counter()
             mesh = None
             if use_mesh and len(jax.devices()) > 1:
                 mesh = build_mesh()
@@ -404,10 +414,30 @@ class cNMF:
                 W, Ht, n_iter = solve_nmf_batch(Xs, W0d, Ht0d, nmf_kwargs)
                 Ht = Ht[:true_b]
             else:
-                W, Ht, n_iter = solve_nmf_batch(
-                    Xd, jnp.asarray(W0), jnp.asarray(Ht0), nmf_kwargs
+                # compaction measured slower than the plain batched solve on
+                # current hardware (dispatch overhead > tail savings); opt in
+                # via CNMF_TPU_COMPACT=1
+                use_compact = (
+                    os.environ.get("CNMF_TPU_COMPACT", "0") == "1"
+                    and nmf_kwargs.get("solver", "cd") == "cd"
                 )
-            out.append(np.asarray(Ht[:, :, :k]).transpose(0, 2, 1))  # (B, k, G)
+                W, Ht, n_iter = solve_nmf_batch(
+                    Xd, jnp.asarray(W0), jnp.asarray(Ht0), nmf_kwargs,
+                    compact=use_compact,
+                )
+            if trace:
+                jax.block_until_ready(n_iter)
+            _t2 = _time.perf_counter()
+            fetched = np.asarray(Ht[:, :, :k])
+            if trace:
+                _t3 = _time.perf_counter()
+                import sys
+                print(
+                    f"[cnmf-tpu timing] k={k}: init {_t1-_t0:.2f}s "
+                    f"solve {_t2-_t1:.2f}s fetch {_t3-_t2:.2f}s",
+                    file=sys.stderr, flush=True,
+                )
+            out.append(fetched.transpose(0, 2, 1))  # (B, k, G)
         return np.concatenate(out, axis=0)
 
     def factorize_multi_process(self, total_workers=None):

@@ -8,6 +8,7 @@ solver from it. This module maps that dict onto the JAX kernels in
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -15,7 +16,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from cnmf_tpu.ops.init import nnls_w_init
-from cnmf_tpu.ops.nmf import nmf_coordinate_descent, nmf_multiplicative_update
+from cnmf_tpu.ops.nmf import (
+    nmf_coordinate_descent,
+    nmf_coordinate_descent_compacted,
+    nmf_multiplicative_update,
+)
 
 BETA_LOSS = {"frobenius": 2.0, "kullback-leibler": 1.0, "itakura-saito": 0.0}
 
@@ -48,10 +53,13 @@ def solve_nmf_batch(
     nmf_kwargs: dict,
     update_H: bool = True,
     mu_chunk: int = 8,
+    compact: bool = False,
 ) -> Tuple[jax.Array, jax.Array, np.ndarray]:
     """Run the batched solver described by sklearn-style kwargs.
 
     X: (N, G); W0: (B, N, K); Ht0: (B, G, K). Returns (W, Ht, n_iter).
+    ``compact``: drop converged restarts from the batch between 125-sweep
+    segments (CD only) — saves the tail cost of slow-converging restarts.
     """
     beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
     solver = nmf_kwargs.get("solver", "cd")
@@ -66,15 +74,31 @@ def solve_nmf_batch(
     if solver == "cd":
         if beta != 2.0:
             raise ValueError("CD solver supports frobenius loss only")
+        if compact:
+            return nmf_coordinate_descent_compacted(
+                X, np.asarray(W0), np.asarray(Ht0), tol=tol, max_iter=max_iter,
+                update_H=update_H,
+                l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+                l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+            )
         return nmf_coordinate_descent(
             X, W0, Ht0, tol=tol, max_iter=max_iter, update_H=update_H,
             l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
             l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
         )
+    # Fused Pallas kernels keep the N×G reconstruction in VMEM for the KL
+    # loss on TPU (the XLA path materializes it in HBM chunk by chunk)
+    use_pallas = (
+        beta == 1.0
+        and jax.default_backend() == "tpu"
+        and jnp.asarray(W0).dtype == jnp.float32
+        and os.environ.get("CNMF_TPU_PALLAS", "1") == "1"
+    )
     return nmf_multiplicative_update(
         X, W0, Ht0, beta=beta, tol=tol, max_iter=max_iter, update_H=update_H,
         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
         l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H, chunk=mu_chunk,
+        use_pallas=use_pallas,
     )
 
 

@@ -28,7 +28,8 @@ def stage_timer(name: str):
         dt = time.perf_counter() - t0
         _TIMINGS[name].append(dt)
         if _VERBOSE:
-            print(f"[cnmf-tpu timing] {name}: {dt:.3f}s", flush=True)
+            import sys
+            print(f"[cnmf-tpu timing] {name}: {dt:.3f}s", file=sys.stderr, flush=True)
 
 
 def timings() -> Dict[str, List[float]]:

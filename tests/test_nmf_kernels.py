@@ -163,3 +163,24 @@ def test_k_padding_exact_noop():
     assert int(nm[0]) == int(nmp[0])
     np.testing.assert_allclose(np.asarray(Wmp[0, :, :k]), np.asarray(Wm[0]), rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(Htmp[0, :, k:]), 0.0)
+
+
+def test_compacted_cd_matches_plain():
+    """Between-segment restart compaction must reproduce the plain batched
+    solver exactly (same sweep counts, same factors)."""
+    from cnmf_tpu.ops.nmf import nmf_coordinate_descent_compacted
+
+    X = make_counts(80, 50, seed=12)
+    k = 6
+    seeds = list(range(31, 41))
+    W0, Ht0 = random_init_batch(X, k, seeds, dtype=np.float64)
+
+    Wp, Htp, n_p = nmf_coordinate_descent(
+        jnp.asarray(X), jnp.asarray(W0), jnp.asarray(Ht0), tol=1e-4, max_iter=600
+    )
+    Wc, Htc, n_c = nmf_coordinate_descent_compacted(
+        jnp.asarray(X), W0, Ht0, tol=1e-4, max_iter=600, seg_len=50, bucket=4
+    )
+    np.testing.assert_array_equal(np.asarray(n_p), n_c)
+    np.testing.assert_allclose(np.asarray(Htp), Htc, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Wp), Wc, rtol=1e-10, atol=1e-12)

@@ -49,7 +49,13 @@ def efficient_ols_all_cols(
     U = np.ascontiguousarray(U, dtype=dtype)
 
     if normalize_y:
-        mean_y, var_y = mean_var(Y)
+        if isinstance(Y, jax.Array):
+            mean_y = np.asarray(jnp.mean(Y, axis=0), dtype=np.float64)
+            var_y = np.asarray(
+                jnp.mean(Y * Y, axis=0), dtype=np.float64
+            ) - mean_y**2
+        else:
+            mean_y, var_y = mean_var(Y)
         var_y = np.maximum(var_y, 1e-12)
         inv_std = (1.0 / np.sqrt(var_y)).astype(dtype)
         mean_y = mean_y.astype(dtype)
@@ -64,7 +70,10 @@ def efficient_ols_all_cols(
         Yb = Y[:, start:end]
         if sp.issparse(Yb):
             Yb = Yb.toarray()
-        Yb = jnp.asarray(np.ascontiguousarray(Yb, dtype=dtype))
+        if isinstance(Yb, jax.Array):
+            Yb = Yb.astype(dtype) if Yb.dtype != dtype else Yb
+        else:
+            Yb = jnp.asarray(np.ascontiguousarray(Yb, dtype=dtype))
         if normalize_y:
             part = _xty_zscored(
                 Ud, Yb, jnp.asarray(mean_y[start:end]), jnp.asarray(inv_std[start:end])

@@ -594,16 +594,20 @@ class cNMF:
         density_threshold_repl = density_threshold_str.replace(".", "_")
         n_neighbors = int(local_neighborhood_size * merged_spectra.shape[0] / k)
 
-        # L2-normalize spectra rows (device)
-        spectra_dev = jnp.asarray(
-            merged_spectra.values.astype(self.compute_dtype)
-        )
+        # L2-normalize spectra rows
         norms = np.sqrt((merged_spectra.values ** 2).sum(axis=1))
         l2_spectra = pd.DataFrame(
             merged_spectra.values / norms[:, None],
             index=merged_spectra.index, columns=merged_spectra.columns,
         )
-        del spectra_dev
+
+        nmf_kwargs = yaml.load(
+            open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
+        )
+
+        def to_device(Xm):
+            Xm = np.asarray(Xm.todense()) if sp.issparse(Xm) else np.asarray(Xm)
+            return jnp.asarray(np.ascontiguousarray(Xm, dtype=self.compute_dtype))
 
         topics_dist = None
         if not skip_density_and_return_after_stats:
@@ -640,10 +644,15 @@ class cNMF:
         median_spectra = l2_spectra.groupby(kmeans_cluster_labels).median()
         median_spectra = (median_spectra.T / median_spectra.sum(1)).T
 
-        rf_usages = self.refit_usage(norm_counts.X, median_spectra)
+        # one device copy of norm counts, shared by the refit and (in the
+        # stats path) the reconstruction error
+        norm_counts_dev = to_device(norm_counts.X)
+        rf_usages = refit_usages(
+            norm_counts_dev, median_spectra.values, nmf_kwargs,
+            dtype=self.compute_dtype,
+        )
         rf_usages = pd.DataFrame(
-            np.asarray(rf_usages), index=norm_counts.obs.index,
-            columns=median_spectra.index,
+            rf_usages, index=norm_counts.obs.index, columns=median_spectra.index,
         )
 
         if skip_density_and_return_after_stats:
@@ -655,12 +664,9 @@ class cNMF:
                     dist, jnp.asarray(labels), int(k)
                 )
             )
-            Xc = norm_counts.X
-            if sp.issparse(Xc):
-                Xc = np.asarray(Xc.todense())
             prediction_error = float(
                 reconstruction_sse(
-                    jnp.asarray(np.ascontiguousarray(Xc, dtype=self.compute_dtype)),
+                    norm_counts_dev,
                     jnp.asarray(rf_usages.values.astype(self.compute_dtype)),
                     jnp.asarray(median_spectra.values.astype(self.compute_dtype)),
                 )
@@ -682,19 +688,30 @@ class cNMF:
         norm_usages.columns = rf_usages.columns
         median_spectra.index = rf_usages.columns
 
-        # TPM-unit spectra via fixed-usage NNLS over ALL genes
+        # TPM-unit spectra via fixed-usage NNLS over ALL genes — the full-gene
+        # TPM matrix goes to device once and is reused by the OLS and the
+        # final refit (at atlas scale fall back to the chunked host path)
         tpm = read_h5ad(self.paths["tpm"])
         tpm_stats = load_df_from_npz(self.paths["tpm_stats"])
-        spectra_tpm = self.refit_spectra(tpm.X, norm_usages)
+        tpm_on_device = tpm.X.shape[0] * tpm.X.shape[1] * 4 < 4e9
+        tpm_src = to_device(tpm.X) if tpm_on_device else tpm.X
+
+        if tpm_on_device:
+            spectra_tpm_vals = refit_usages(
+                tpm_src.T, norm_usages.values.T.astype(self.compute_dtype),
+                nmf_kwargs, dtype=self.compute_dtype,
+            ).T
+        else:
+            spectra_tpm_vals = np.asarray(self.refit_spectra(tpm.X, norm_usages))
         spectra_tpm = pd.DataFrame(
-            np.asarray(spectra_tpm), index=rf_usages.columns, columns=tpm.var.index
+            spectra_tpm_vals, index=rf_usages.columns, columns=tpm.var.index
         )
         if normalize_tpm_spectra:
             spectra_tpm = spectra_tpm.div(spectra_tpm.sum(axis=1), axis=0) * 1e6
 
         # Z-score spectra: OLS of z-scored TPM on usages (reference cnmf.py:957-959)
         usage_coef = efficient_ols_all_cols(
-            rf_usages.values, tpm.X, normalize_y=True, dtype=self.compute_dtype
+            rf_usages.values, tpm_src, normalize_y=True, dtype=self.compute_dtype
         )
         usage_coef = pd.DataFrame(
             usage_coef, index=rf_usages.columns, columns=tpm.var.index
@@ -703,20 +720,40 @@ class cNMF:
         if refit_usage:
             # final usage refit on std-scaled HVG TPM (reference cnmf.py:961-975)
             hvgs = open(self.paths["nmf_genes_list"]).read().split("\n")
-            norm_tpm_X = tpm[:, hvgs].X
-            if sp.issparse(norm_tpm_X):
-                norm_tpm_X = scale_unit_variance(norm_tpm_X, ddof=1, zero_safe=True)
+            hvg_idx = tpm.var.index.get_indexer(hvgs)
+            # the reference's sparse path guards zero stds (scanpy pp.scale),
+            # its dense path divides unguarded — preserve per input kind
+            zero_safe = sp.issparse(tpm.X)
+            if tpm_on_device:
+                tpm_hvg = tpm_src[:, jnp.asarray(hvg_idx)]
+                n = tpm_hvg.shape[0]
+                mean = jnp.mean(tpm_hvg, axis=0)
+                var = (jnp.mean(tpm_hvg * tpm_hvg, axis=0) - mean * mean) * n / (n - 1)
+                std = jnp.sqrt(jnp.maximum(var, 0.0))
+                if zero_safe:
+                    std = jnp.where(std == 0, 1.0, std)
+                norm_tpm_X = tpm_hvg / std
             else:
-                norm_tpm_X = scale_unit_variance(
-                    np.asarray(norm_tpm_X, dtype=np.float64), ddof=1, zero_safe=False
-                )
+                norm_tpm_X = tpm[:, hvgs].X
+                if zero_safe:
+                    norm_tpm_X = scale_unit_variance(norm_tpm_X, ddof=1, zero_safe=True)
+                else:
+                    norm_tpm_X = scale_unit_variance(
+                        np.asarray(norm_tpm_X, dtype=np.float64), ddof=1,
+                        zero_safe=False,
+                    )
             spectra_tpm_rf = spectra_tpm.loc[:, hvgs]
             tpm_stats_idx = tpm_stats.copy()
             tpm_stats_idx.index = tpm.var.index
             spectra_tpm_rf = spectra_tpm_rf.div(tpm_stats_idx.loc[hvgs, "__std"], axis=1)
-            rf_usages = self.refit_usage(norm_tpm_X, spectra_tpm_rf.values)
+            rf_usages = refit_usages(
+                norm_tpm_X if tpm_on_device else np.asarray(norm_tpm_X.todense())
+                if sp.issparse(norm_tpm_X) else np.asarray(norm_tpm_X),
+                spectra_tpm_rf.values.astype(self.compute_dtype),
+                nmf_kwargs, dtype=self.compute_dtype,
+            )
             rf_usages = pd.DataFrame(
-                np.asarray(rf_usages), index=norm_counts.obs.index,
+                rf_usages, index=norm_counts.obs.index,
                 columns=spectra_tpm_rf.index,
             )
 

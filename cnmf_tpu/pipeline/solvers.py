@@ -103,18 +103,30 @@ def solve_nmf_batch(
 
 
 def refit_usages(
-    X: np.ndarray,
+    X,
     spectra: np.ndarray,
     nmf_kwargs: dict,
     dtype=np.float32,
     mu_chunk: int = 8,
 ) -> np.ndarray:
     """Fixed-spectra NNLS usage refit (sklearn update_H=False semantics):
-    W init zeros for CD, sqrt(X.mean()/K) for MU (reference cnmf.py:776-802)."""
+    W init zeros for CD, sqrt(X.mean()/K) for MU (reference cnmf.py:776-802).
+
+    ``X`` may be a host array or an already-device-resident jax array —
+    consensus reuses one device copy across its three refits to avoid
+    re-uploading the full-gene TPM matrix."""
     solver = nmf_kwargs.get("solver", "cd")
     k = spectra.shape[0]
-    Xd = jnp.asarray(np.ascontiguousarray(X, dtype=dtype))
-    W0 = jnp.asarray(nnls_w_init(X, k, solver, dtype=dtype)[None])
+    if isinstance(X, jax.Array):
+        Xd = X.astype(dtype) if X.dtype != dtype else X
+        if solver == "mu":
+            avg = float(jnp.sqrt(jnp.mean(Xd) / k))
+            W0 = jnp.full((1, Xd.shape[0], k), avg, dtype=dtype)
+        else:
+            W0 = jnp.zeros((1, Xd.shape[0], k), dtype=dtype)
+    else:
+        Xd = jnp.asarray(np.ascontiguousarray(X, dtype=dtype))
+        W0 = jnp.asarray(nnls_w_init(X, k, solver, dtype=dtype)[None])
     Ht0 = jnp.asarray(np.ascontiguousarray(spectra.T, dtype=dtype)[None])
     W, _, _ = solve_nmf_batch(
         Xd, W0, Ht0, nmf_kwargs, update_H=False, mu_chunk=mu_chunk

@@ -215,7 +215,6 @@ def run_harmony(
     block_idx = jnp.asarray(idx.reshape(n_blocks, L))
     block_mask = jnp.asarray(mask.reshape(n_blocks, L))
 
-    @jax.jit
     def kmeans_round(Y, Z_cos, R, E, O):
         dist = 2.0 * (1.0 - jnp.dot(Y.T, Z_cos, precision=MATMUL_PRECISION))
         sd = -dist / sig[:, None]
@@ -227,25 +226,46 @@ def run_harmony(
         dist = 2.0 * (1.0 - jnp.dot(Y.T, Z_cos, precision=MATMUL_PRECISION))
         return Y, R, E, O, dist
 
-    objectives = []
-    for it in range(max_iter_harmony):
-        # --- clustering rounds ---
-        obj_window = []
-        for kit in range(max_iter_kmeans):
-            Yd, R, E, O, dist_mat = kmeans_round(Yd, Zc, R, E, O)
-            obj = float(objective(R, dist_mat, E, O))
-            obj_window.append(obj)
-            if kit > 2:
-                if abs(obj_window[-2] - obj) / max(abs(obj_window[-2]), 1e-12) < epsilon_cluster:
-                    break
-        # --- MOE ridge correction of the embedding ---
+    @jax.jit
+    def harmony_iteration(Y, Z_cos, R, E, O):
+        """One full Harmony iteration as a single device program: clustering
+        rounds to convergence (a lax.while_loop — no host round-trips), then
+        the MOE ridge correction of the embedding."""
+        def cond(state):
+            kit, done, *_ = state
+            return jnp.logical_and(kit < max_iter_kmeans, jnp.logical_not(done))
+
+        def body(state):
+            kit, _, Y, R, E, O, prev_obj, obj = state
+            Y, R, E, O, dist = kmeans_round(Y, Z_cos, R, E, O)
+            new_obj = objective(R, dist, E, O)
+            done = jnp.logical_and(
+                kit > 2,
+                jnp.abs(obj - new_obj) / jnp.maximum(jnp.abs(obj), 1e-12)
+                < epsilon_cluster,
+            )
+            return kit + 1, done, Y, R, E, O, obj, new_obj
+
+        inf = jnp.full((), jnp.inf, dtype=Z_cos.dtype)
+        state0 = (
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+            Y, R, E, O, inf, inf,
+        )
+        _, _, Y, R, E, O, _, obj = jax.lax.while_loop(cond, body, state0)
+
         Zcorr = _moe_correct_ridge(Zo, R, Phi_moed, lambd)
-        Zc = Zcorr / jnp.maximum(
+        Z_cos = Zcorr / jnp.maximum(
             jnp.linalg.norm(Zcorr, ord=2, axis=0, keepdims=True), 1e-12
         )
-        objectives.append(obj_window[-1])
+        return Y, Z_cos, Zcorr, R, E, O, obj
+
+    objectives = []
+    for it in range(max_iter_harmony):
+        Yd, Zc, Zcorr, R, E, O, obj_dev = harmony_iteration(Yd, Zc, R, E, O)
+        obj = float(obj_dev)
+        objectives.append(obj)
         if verbose:
-            print(f"harmony iter {it}: objective {obj_window[-1]:.4f}")
+            print(f"harmony iter {it}: objective {obj:.4f}")
         if it > 0:
             prev, cur = objectives[-2], objectives[-1]
             if abs(prev - cur) / max(abs(prev), 1e-12) < epsilon_harmony:

@@ -338,6 +338,13 @@ class cNMF:
         # both solvers — CD skips columns whose gram diagonal is 0 and MU keeps
         # zero factors at zero — so every K in a bucket shares one compiled
         # program instead of one XLA compilation per K.
+        #
+        # Two-phase pipelining: all K solves are DISPATCHED first (jax
+        # dispatch is async, so the device crunches K_i while the host
+        # initializes K_{i+1}); fetches + file writes drain afterwards.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = []
         for k, group in sub.groupby("n_components", sort=True):
             k = int(k)
             pad_k = -(-k // 8) * 8
@@ -348,30 +355,39 @@ class cNMF:
                     "[Worker %d] factorizing k=%d: %d restarts as one device batch"
                     % (worker_i, k, len(seeds))
                 )
-            spectra_batch = self._factorize_one_k(
+            handles = self._factorize_one_k(
                 Xd, X, k, seeds, _nmf_kwargs, pad_k=pad_k,
                 restart_chunk=restart_chunk, use_mesh=use_mesh,
+                fetch=False,
             )
+            pending.append((k, iters, handles))
 
-            def write_one(args):
-                i, it = args
-                spectra = pd.DataFrame(
-                    spectra_batch[i].astype(np.float64),
-                    index=np.arange(1, k + 1),
-                    columns=gene_index,
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for k, iters, handles in pending:
+                spectra_batch = np.concatenate(
+                    [np.asarray(Ht[:, :, :k]).transpose(0, 2, 1) for Ht in handles],
+                    axis=0,
                 )
-                save_df_to_npz(spectra, self.paths["iter_spectra"] % (k, it))
 
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=8) as pool:
+                def write_one(args, k=k, spectra_batch=spectra_batch):
+                    i, it = args
+                    spectra = pd.DataFrame(
+                        spectra_batch[i].astype(np.float64),
+                        index=np.arange(1, k + 1),
+                        columns=gene_index,
+                    )
+                    save_df_to_npz(spectra, self.paths["iter_spectra"] % (k, it))
+
                 list(pool.map(write_one, enumerate(iters)))
 
     def _factorize_one_k(
         self, Xd, X_host, k, seeds, nmf_kwargs, pad_k=None,
-        restart_chunk=None, use_mesh=True,
-    ) -> np.ndarray:
+        restart_chunk=None, use_mesh=True, fetch=True,
+    ):
         """All restarts for one K: init on host (sklearn-RNG-compatible),
-        solve batched on device. Returns spectra (B, k, G).
+        solve batched on device. Returns spectra (B, k, G), or — with
+        ``fetch=False`` — the list of per-chunk device Ht handles so the
+        caller can overlap subsequent host work with the device solve.
 
         ``pad_k``: zero-pad the component axis to this width so different K
         values reuse one compiled program (exact no-op, see factorize())."""
@@ -381,8 +397,14 @@ class cNMF:
         init = nmf_kwargs.get("init", "random")
         dtype = self.compute_dtype
         B = len(seeds)
-        chunk = restart_chunk or B
         pad_k = pad_k or k
+        if restart_chunk is None:
+            # keep the restart batch's solver working set (W, XHt, grads ≈
+            # 4 × B×N×K buffers) within ~4 GB of HBM; at PBMC scale this
+            # never chunks, at atlas scale (1M cells, K≈60) it does
+            per_restart = X_host.shape[0] * pad_k * np.dtype(dtype).itemsize * 4
+            restart_chunk = max(1, int(4e9 / max(per_restart, 1)))
+        chunk = min(restart_chunk, B)
 
         out = []
         for start in range(0, B, chunk):
@@ -428,6 +450,9 @@ class cNMF:
             if trace:
                 jax.block_until_ready(n_iter)
             _t2 = _time.perf_counter()
+            if not fetch:
+                out.append(jnp.asarray(Ht) if not isinstance(Ht, jax.Array) else Ht)
+                continue
             fetched = np.asarray(Ht[:, :, :k])
             if trace:
                 _t3 = _time.perf_counter()
@@ -438,6 +463,8 @@ class cNMF:
                     file=sys.stderr, flush=True,
                 )
             out.append(fetched.transpose(0, 2, 1))  # (B, k, G)
+        if not fetch:
+            return out
         return np.concatenate(out, axis=0)
 
     def factorize_multi_process(self, total_workers=None):
@@ -757,31 +784,29 @@ class cNMF:
                 columns=spectra_tpm_rf.index,
             )
 
-        save_df_to_npz(
-            median_spectra, self.paths["consensus_spectra"] % (k, density_threshold_repl)
-        )
-        save_df_to_npz(
-            rf_usages, self.paths["consensus_usages"] % (k, density_threshold_repl)
-        )
-        save_df_to_text(
-            median_spectra,
-            self.paths["consensus_spectra__txt"] % (k, density_threshold_repl),
-        )
-        save_df_to_text(
-            rf_usages, self.paths["consensus_usages__txt"] % (k, density_threshold_repl)
-        )
-        save_df_to_npz(
-            spectra_tpm, self.paths["gene_spectra_tpm"] % (k, density_threshold_repl)
-        )
-        save_df_to_text(
-            spectra_tpm, self.paths["gene_spectra_tpm__txt"] % (k, density_threshold_repl)
-        )
-        save_df_to_npz(
-            usage_coef, self.paths["gene_spectra_score"] % (k, density_threshold_repl)
-        )
-        save_df_to_text(
-            usage_coef, self.paths["gene_spectra_score__txt"] % (k, density_threshold_repl)
-        )
+        # the eight result files are independent — write them concurrently
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            (save_df_to_npz, median_spectra,
+             self.paths["consensus_spectra"] % (k, density_threshold_repl)),
+            (save_df_to_npz, rf_usages,
+             self.paths["consensus_usages"] % (k, density_threshold_repl)),
+            (save_df_to_text, median_spectra,
+             self.paths["consensus_spectra__txt"] % (k, density_threshold_repl)),
+            (save_df_to_text, rf_usages,
+             self.paths["consensus_usages__txt"] % (k, density_threshold_repl)),
+            (save_df_to_npz, spectra_tpm,
+             self.paths["gene_spectra_tpm"] % (k, density_threshold_repl)),
+            (save_df_to_text, spectra_tpm,
+             self.paths["gene_spectra_tpm__txt"] % (k, density_threshold_repl)),
+            (save_df_to_npz, usage_coef,
+             self.paths["gene_spectra_score"] % (k, density_threshold_repl)),
+            (save_df_to_text, usage_coef,
+             self.paths["gene_spectra_score__txt"] % (k, density_threshold_repl)),
+        ]
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(lambda w: w[0](w[1], w[2]), writes))
 
         if show_clustering:
             topics_dist = np.asarray(

@@ -344,26 +344,22 @@ class cNMF:
         # initializes K_{i+1}); fetches + file writes drain afterwards.
         from concurrent.futures import ThreadPoolExecutor
 
-        pending = []
-        for k, group in sub.groupby("n_components", sort=True):
-            k = int(k)
-            pad_k = -(-k // 8) * 8
-            seeds = group["nmf_seed"].values
-            iters = group["iter"].values
-            if verbose:
-                print(
-                    "[Worker %d] factorizing k=%d: %d restarts as one device batch"
-                    % (worker_i, k, len(seeds))
-                )
-            handles = self._factorize_one_k(
-                Xd, X, k, seeds, _nmf_kwargs, pad_k=pad_k,
-                restart_chunk=restart_chunk, use_mesh=use_mesh,
-                fetch=False,
-            )
-            pending.append((k, iters, handles))
+        # Holding every K's factor buffers on device at once costs
+        # ~2·Σ_K B·N·pad_K floats; only pipeline when that fits comfortably,
+        # otherwise drain each K before dispatching the next (atlas scale).
+        n_cells = X.shape[0]
+        total_padk = sum(
+            -(-int(kk) // 8) * 8 * len(gg)
+            for kk, gg in sub.groupby("n_components", sort=True)
+        )
+        pipeline_all = (
+            2 * total_padk * n_cells * np.dtype(self.compute_dtype).itemsize < 2e9
+        )
 
+        pending = []
         with ThreadPoolExecutor(max_workers=8) as pool:
-            for k, iters, handles in pending:
+
+            def drain(k, iters, handles):
                 spectra_batch = np.concatenate(
                     [np.asarray(Ht[:, :, :k]).transpose(0, 2, 1) for Ht in handles],
                     axis=0,
@@ -379,6 +375,29 @@ class cNMF:
                     save_df_to_npz(spectra, self.paths["iter_spectra"] % (k, it))
 
                 list(pool.map(write_one, enumerate(iters)))
+
+            for k, group in sub.groupby("n_components", sort=True):
+                k = int(k)
+                pad_k = -(-k // 8) * 8
+                seeds = group["nmf_seed"].values
+                iters = group["iter"].values
+                if verbose:
+                    print(
+                        "[Worker %d] factorizing k=%d: %d restarts as one device batch"
+                        % (worker_i, k, len(seeds))
+                    )
+                handles = self._factorize_one_k(
+                    Xd, X, k, seeds, _nmf_kwargs, pad_k=pad_k,
+                    restart_chunk=restart_chunk, use_mesh=use_mesh,
+                    fetch=False,
+                )
+                if pipeline_all:
+                    pending.append((k, iters, handles))
+                else:
+                    drain(k, iters, handles)
+
+            for k, iters, handles in pending:
+                drain(k, iters, handles)
 
     def _factorize_one_k(
         self, Xd, X_host, k, seeds, nmf_kwargs, pad_k=None,
@@ -451,7 +470,9 @@ class cNMF:
                 jax.block_until_ready(n_iter)
             _t2 = _time.perf_counter()
             if not fetch:
-                out.append(jnp.asarray(Ht) if not isinstance(Ht, jax.Array) else Ht)
+                # in restart-chunked (atlas) mode, sync-fetch per chunk so at
+                # most one chunk's buffers are live on device at a time
+                out.append(np.asarray(Ht) if chunk < B else Ht)
                 continue
             fetched = np.asarray(Ht[:, :, :k])
             if trace:

@@ -1,0 +1,83 @@
+"""Golden-file regression (the reference's test_reproducibility strategy,
+tests/test_reproducibility.py:85-115): copy the stored merged spectra into a
+fresh run — isolating consensus from factorize nondeterminism — run
+consensus, and compare every artifact to the goldens at SSE < 1e-4.
+
+Regenerate with: python extras/make_golden_fixtures.py
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from cnmf_tpu import cNMF, write_h5ad
+from cnmf_tpu.io.dataframe import load_df_from_npz, save_df_to_npz
+from cnmf_tpu.simulate import simulate_counts
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+K = 6
+DT = "0_5"
+SSE_TOL = 1e-4
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLDEN_DIR), reason="goldens not generated"
+)
+
+
+@pytest.fixture(scope="module")
+def rerun(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("golden")
+    adata, _, _ = simulate_counts(n_cells=300, n_genes=400, n_identities=5,
+                                  n_activities=1, n_markers_per_program=40,
+                                  seed=7)
+    counts_fn = str(tmp_path / "counts.h5ad")
+    write_h5ad(counts_fn, adata)
+    obj = cNMF(output_dir=str(tmp_path), name="rerun", compute_dtype=np.float64)
+    obj.prepare(counts_fn=counts_fn, components=[K], n_iter=10, seed=14,
+                num_highvar_genes=200)
+    # skip factorize: copy the golden merged spectra in (reference strategy)
+    golden_merged = load_df_from_npz(
+        os.path.join(GOLDEN_DIR, f"merged_spectra.k_{K}.df.npz")
+    )
+    save_df_to_npz(golden_merged, obj.paths["merged_spectra"] % K)
+    obj.consensus(k=K, density_threshold=0.5, show_clustering=False)
+    return obj
+
+
+@pytest.mark.parametrize("artifact", [
+    "consensus_spectra", "consensus_usages",
+    "gene_spectra_tpm", "gene_spectra_score", "starcat_spectra",
+])
+def test_consensus_matches_golden(rerun, artifact):
+    ours = load_df_from_npz(rerun.paths[artifact] % (K, DT))
+    golden = load_df_from_npz(
+        os.path.join(GOLDEN_DIR, f"{artifact}.k_{K}.dt_{DT}.df.npz")
+    )
+    assert ours.shape == golden.shape
+    assert list(ours.index) == list(golden.index)
+    err = float(((ours.values.astype(float) - golden.values.astype(float)) ** 2).sum())
+    assert err < SSE_TOL, f"{artifact}: SSE {err:.2e}"
+
+
+def test_factorize_reproduces_golden_merged(rerun, tmp_path):
+    """Live factorize (fixed seeds) must reproduce the golden merged spectra —
+    the piece the reference skips; our seeded batched solver is deterministic
+    enough to check directly in float64."""
+    obj = cNMF(output_dir=str(tmp_path), name="live", compute_dtype=np.float64)
+    adata, _, _ = simulate_counts(n_cells=300, n_genes=400, n_identities=5,
+                                  n_activities=1, n_markers_per_program=40,
+                                  seed=7)
+    counts_fn = str(tmp_path / "counts.h5ad")
+    write_h5ad(counts_fn, adata)
+    obj.prepare(counts_fn=counts_fn, components=[K], n_iter=10, seed=14,
+                num_highvar_genes=200)
+    obj.factorize(verbose=False)
+    obj.combine()
+    ours = load_df_from_npz(obj.paths["merged_spectra"] % K)
+    golden = load_df_from_npz(
+        os.path.join(GOLDEN_DIR, f"merged_spectra.k_{K}.df.npz")
+    )
+    err = float(((ours.values - golden.values) ** 2).sum())
+    assert err < SSE_TOL, f"merged spectra SSE {err:.2e}"

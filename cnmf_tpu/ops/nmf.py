@@ -486,6 +486,10 @@ def _mu_update_w(X, W, Ht, beta: float, gamma: float,
         numerator = kl_mu_w_numerator(X, W, Ht)
         h_sum = jnp.sum(Ht, axis=1)  # (B, K)
         denominator = jnp.broadcast_to(h_sum[:, None, :], numerator.shape)
+    elif use_pallas:
+        from cnmf_tpu.ops.pallas_mu import beta_mu_w_terms
+
+        numerator, denominator = beta_mu_w_terms(X, W, Ht, beta)
     else:
         numerator, denominator = _mu_w_terms_chunked(X, W, Ht, beta, chunk)
 
@@ -557,6 +561,10 @@ def _mu_update_h(X, W, Ht, beta: float, gamma: float,
         w_sum = jnp.sum(W, axis=1)  # (B, K)
         w_sum = jnp.where(w_sum == 0, 1.0, w_sum)
         denominator = jnp.broadcast_to(w_sum[:, None, :], numerator.shape)
+    elif use_pallas:
+        from cnmf_tpu.ops.pallas_mu import beta_mu_h_terms
+
+        numerator, denominator = beta_mu_h_terms(X, W, Ht, beta)
     else:
         numerator, denominator = _mu_h_terms_chunked(X, W, Ht, beta, chunk)
 

@@ -102,6 +102,141 @@ def _kl_h_terms_kernel(x_ref, w_ref, h_ref, num_ref):
         num_ref[0] = num_ref[0] + part
 
 
+def _make_beta_w_terms_kernel(beta: float):
+    """Kernel factory: W-update numerator AND denominator tiles for a general
+    beta loss (beta != 1, 2): num = (X ∘ WH^(β−2))·Hᵀ, den = WH^(β−1)·Hᵀ."""
+    def kernel(x_ref, w_ref, h_ref, num_ref, den_ref):
+        wh = jnp.dot(w_ref[0], h_ref[0], preferred_element_type=jnp.float32)
+        wh_num = jnp.maximum(wh, EPSILON) if beta - 2.0 < 0 else wh
+        if beta == 0:
+            ratio = x_ref[:] / (wh_num * wh_num)
+        else:
+            ratio = x_ref[:] * jnp.power(wh_num, beta - 2.0)
+        num_ref[0] = jnp.dot(ratio, h_ref[0].T, preferred_element_type=jnp.float32)
+        wh_den = jnp.maximum(wh, EPSILON) if beta - 1.0 < 0 else wh
+        if beta == 0:
+            g = 1.0 / wh_den
+        else:
+            g = jnp.power(wh_den, beta - 1.0)
+        den_ref[0] = jnp.dot(g, h_ref[0].T, preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("beta", "interpret"))
+def beta_mu_w_terms(X, W, Ht, beta: float, interpret: bool = False):
+    """Fused W-update numerator/denominator for beta not in {1, 2}.
+
+    Returns (num, den), each (B, N, K), with the N×G reconstruction kept in
+    VMEM (sklearn _multiplicative_update_w dense semantics)."""
+    B, N, K = W.shape
+    G = X.shape[1]
+    tile_n = _pick_tile(N, G, K)
+    pad_n = (-N) % tile_n
+    Xp = jnp.pad(X, ((0, pad_n), (0, 0)))
+    Wp = jnp.pad(W, ((0, 0), (0, pad_n), (0, 0)))
+    Np = N + pad_n
+    H = jnp.transpose(Ht, (0, 2, 1))
+
+    grid = (B, Np // tile_n)
+    num, den = pl.pallas_call(
+        _make_beta_w_terms_kernel(beta),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, G), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, K), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, G), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_n, K), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, K), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Np, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, K), jnp.float32),
+        ),
+        interpret=interpret,
+    )(Xp, Wp, H)
+    return num[:, :N, :], den[:, :N, :]
+
+
+def _make_beta_h_terms_kernel(beta: float):
+    """H-update terms accumulated over row tiles: num = Wᵀ·(X ∘ WH^(β−2)),
+    den = Wᵀ·WH^(β−1), each (K, G)."""
+    def kernel(x_ref, w_ref, h_ref, num_ref, den_ref):
+        i = pl.program_id(1)
+        wh = jnp.dot(w_ref[0], h_ref[0], preferred_element_type=jnp.float32)
+        wh_num = jnp.maximum(wh, EPSILON) if beta - 2.0 < 0 else wh
+        if beta == 0:
+            ratio = x_ref[:] / (wh_num * wh_num)
+        else:
+            ratio = x_ref[:] * jnp.power(wh_num, beta - 2.0)
+        n_part = jnp.dot(w_ref[0].T, ratio, preferred_element_type=jnp.float32)
+        wh_den = jnp.maximum(wh, EPSILON) if beta - 1.0 < 0 else wh
+        if beta == 0:
+            g = 1.0 / wh_den
+        else:
+            g = jnp.power(wh_den, beta - 1.0)
+        d_part = jnp.dot(w_ref[0].T, g, preferred_element_type=jnp.float32)
+
+        @pl.when(i == 0)
+        def _():
+            num_ref[0] = n_part
+            den_ref[0] = d_part
+
+        @pl.when(i > 0)
+        def _():
+            num_ref[0] = num_ref[0] + n_part
+            den_ref[0] = den_ref[0] + d_part
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("beta", "interpret"))
+def beta_mu_h_terms(X, W, Ht, beta: float, interpret: bool = False):
+    """Fused H-update numerator/denominator for beta not in {1, 2}.
+    Returns (num, den), each (B, G, K) in the Ht layout."""
+    B, N, K = W.shape
+    G = X.shape[1]
+    tile_n = _pick_tile(N, G, K)
+    pad_n = (-N) % tile_n
+    Xp = jnp.pad(X, ((0, pad_n), (0, 0)))
+    Wp = jnp.pad(W, ((0, 0), (0, pad_n), (0, 0)))
+    Np = N + pad_n
+    H = jnp.transpose(Ht, (0, 2, 1))
+
+    grid = (B, Np // tile_n)
+    num, den = pl.pallas_call(
+        _make_beta_h_terms_kernel(beta),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, G), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, K), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, G), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K, G), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, G), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, G), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, G), jnp.float32),
+        ),
+        interpret=interpret,
+    )(Xp, Wp, H)
+    return jnp.transpose(num, (0, 2, 1)), jnp.transpose(den, (0, 2, 1))
+
+
 def _kl_xlogwh_kernel(x_ref, w_ref, h_ref, out_ref):
     """Accumulate sum over X>eps of X·log(max(W·H, eps)) per restart — the
     reconstruction-dependent term of the KL divergence (sklearn

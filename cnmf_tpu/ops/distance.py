@@ -3,12 +3,13 @@
 Replaces sklearn's ``euclidean_distances`` + ``np.argpartition`` KNN density
 estimate (reference cnmf.py:891-898): the R×R spectra distance matrix
 (R = n_iter·K) is one gram-trick matmul on the MXU, and the mean distance to
-the n nearest neighbors uses ``lax.top_k`` on negated distances.
+the n nearest neighbors comes from iterative min-extraction — a tiny,
+shape-stable program (sort/top_k would recompile per neighbor count, and TPU
+sort compiles are expensive).
 """
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

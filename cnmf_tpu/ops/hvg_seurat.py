@@ -13,7 +13,7 @@ device for dense matrices and as a single sparse pass on host otherwise.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import numpy as np
 import scipy.sparse as sp

@@ -9,7 +9,7 @@ solver from it. This module maps that dict onto the JAX kernels in
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

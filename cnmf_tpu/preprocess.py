@@ -317,9 +317,10 @@ class Preprocess:
         ADT panels)."""
         from sklearn.feature_selection import mutual_info_classif
 
-        _adata.X = normalize_total(_adata.X, target_sum=None if False else np.median(
-            np.asarray(_adata.X.sum(axis=1)).ravel()
-        ))
+        # scanpy's normalize_total default: scale cells to the median library
+        # size (reference preprocess.py:445 calls it with no target_sum)
+        median_libsize = float(np.median(np.asarray(_adata.X.sum(axis=1)).ravel()))
+        _adata.X = normalize_total(_adata.X, target_sum=median_libsize)
         stdscale_quantile_celing(
             _adata, max_value=max_scaled_thresh, quantile_thresh=quantile_thresh
         )

@@ -12,7 +12,7 @@ Returns the ground-truth usage/spectra matrices so recovery can be scored.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd

@@ -181,3 +181,58 @@ def test_starcat_reference(run):
     assert sse(ours.values, expected.values) / max(
         float((expected.values**2).sum()), 1.0
     ) < SSE_TOL
+
+
+def test_kl_mu_consensus_refits_match_sklearn(tmp_path):
+    """Consensus under solver='mu' (KL loss): the NNLS refit path must match
+    sklearn's update_H=False MU semantics end-to-end (small config)."""
+    import yaml
+
+    rng = np.random.RandomState(8)
+    W = rng.gamma(0.7, 1.0, size=(120, 4))
+    H = rng.gamma(0.5, 1.0, size=(4, 150)) * (rng.rand(4, 150) < 0.4)
+    X = rng.poisson(W @ H * 2.0).astype(float)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(X, index=[f"c{i}" for i in range(120)],
+                      columns=[f"g{j}" for j in range(150)])
+    fn = str(tmp_path / "counts.txt")
+    df.to_csv(fn, sep="\t")
+
+    obj = cNMF(output_dir=str(tmp_path), name="klmu", compute_dtype=np.float64)
+    obj.prepare(counts_fn=fn, components=[4], n_iter=5, seed=3,
+                num_highvar_genes=80, beta_loss="kullback-leibler",
+                max_NMF_iter=300)
+    obj.factorize(verbose=False)
+    obj.combine()
+    obj.consensus(k=4, density_threshold=2.0, show_clustering=False)
+
+    # oracle: sklearn MU refit of usages on the same median spectra
+    nmf_kwargs = yaml.load(open(obj.paths["nmf_run_parameters"]),
+                           Loader=yaml.FullLoader)
+    assert nmf_kwargs["solver"] == "mu"
+    spectra = load_df_from_npz(obj.paths["consensus_spectra"] % (4, "2_0"))
+    norm_counts = read_h5ad(obj.paths["normalized_counts"])
+    Xd = norm_counts.X.toarray() if sp.issparse(norm_counts.X) else np.asarray(norm_counts.X)
+
+    # reproduce the full post-refit chain as sklearn would
+    kw = dict(nmf_kwargs)
+    tpm = read_h5ad(obj.paths["tpm"])
+    tpm_X = tpm.X.toarray() if sp.issparse(tpm.X) else np.asarray(tpm.X)
+    hvgs = open(obj.paths["nmf_genes_list"]).read().split("\n")
+    tpm_hvg = tpm_X[:, tpm.var.index.get_indexer(hvgs)]
+    norm_tpm = tpm_hvg / tpm_hvg.std(axis=0, ddof=1)
+    tpm_stats = load_df_from_npz(obj.paths["tpm_stats"])
+    tpm_stats.index = tpm.var.index
+    spectra_tpm = load_df_from_npz(obj.paths["gene_spectra_tpm"] % (4, "2_0"))
+    spectra_rf = spectra_tpm.loc[:, hvgs].div(tpm_stats.loc[hvgs, "__std"], axis=1)
+    W_sk, _, _ = non_negative_factorization(
+        np.asarray(norm_tpm, dtype=np.float64),
+        H=np.ascontiguousarray(spectra_rf.values, dtype=np.float64),
+        n_components=4, update_H=False, init=None,
+        solver="mu", beta_loss="kullback-leibler",
+        tol=kw["tol"], max_iter=kw["max_iter"],
+    )
+    ours = load_df_from_npz(obj.paths["consensus_usages"] % (4, "2_0")).values
+    err = sse(ours, W_sk)
+    scale = max(float((W_sk**2).sum()), 1.0)
+    assert err / scale < SSE_TOL, f"KL usages relative SSE {err/scale:.2e}"

@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import pandas as pd
 import pytest
@@ -114,3 +115,35 @@ def test_h5ad_legacy_format_read(tmp_path):
     assert list(back.obs.index) == [f"c{i}" for i in range(12)]
     np.testing.assert_allclose(back.obs["n_counts"].values, np.arange(12.0))
     assert list(back.var.index) == [f"g{j}" for j in range(7)]
+
+
+def test_10x_mtx_roundtrip_through_prepare(tmp_path):
+    """10x-formatted mtx directory input path (reference cnmf.py:385-387)."""
+    import gzip
+    import scipy.io
+
+    rng = np.random.RandomState(6)
+    n_cells, n_genes = 60, 80
+    X = sp.csr_matrix(rng.binomial(30, 0.05, size=(n_cells, n_genes)).astype(float))
+    X[np.asarray(X.sum(axis=1)).ravel() == 0, 0] = 1
+    tenx = tmp_path / "mtx"
+    tenx.mkdir()
+    scipy.io.mmwrite(str(tenx / "matrix.mtx"), X.T.tocoo())  # 10x: genes x cells
+    with gzip.open(str(tenx / "barcodes.tsv.gz"), "wt") as f:
+        f.write("\n".join(f"BC{i}" for i in range(n_cells)))
+    with gzip.open(str(tenx / "features.tsv.gz"), "wt") as f:
+        f.write("\n".join(f"ENSG{j}\tSYM{j}\tGene Expression" for j in range(n_genes)))
+
+    from cnmf_tpu.io.tenx import read_10x_mtx
+
+    adata = read_10x_mtx(str(tenx))
+    assert adata.shape == (n_cells, n_genes)
+    assert list(adata.var.index[:2]) == ["SYM0", "SYM1"]
+    np.testing.assert_allclose(adata.X.toarray(), X.toarray())
+
+    from cnmf_tpu import cNMF
+
+    obj = cNMF(output_dir=str(tmp_path), name="tenx")
+    obj.prepare(counts_fn=str(tenx / "matrix.mtx"), components=[3], n_iter=2,
+                seed=1, num_highvar_genes=40)
+    assert os.path.exists(obj.paths["normalized_counts"])

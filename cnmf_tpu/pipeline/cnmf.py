@@ -693,8 +693,16 @@ class cNMF:
         median_spectra = (median_spectra.T / median_spectra.sum(1)).T
 
         # one device copy of norm counts, shared by the refit and (in the
-        # stats path) the reconstruction error
-        norm_counts_dev = to_device(norm_counts.X)
+        # stats path) the reconstruction error — and cached across the
+        # k_selection_plot sweep, which passes the same preloaded object for
+        # every K (reference cnmf.py:1124-1130)
+        cache_key = id(norm_counts)
+        cached = getattr(self, "_norm_counts_dev_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            norm_counts_dev = cached[1]
+        else:
+            norm_counts_dev = to_device(norm_counts.X)
+            self._norm_counts_dev_cache = (cache_key, norm_counts_dev)
         rf_usages = refit_usages(
             norm_counts_dev, median_spectra.values, nmf_kwargs,
             dtype=self.compute_dtype,
@@ -712,11 +720,17 @@ class cNMF:
                     dist, jnp.asarray(labels), int(k)
                 )
             )
+            # zero-pad K to a bucket of 8 so the 9-K selection sweep shares
+            # one compiled SSE program (padded components contribute 0 exactly)
+            W_err = rf_usages.values.astype(self.compute_dtype)
+            S_err = median_spectra.values.astype(self.compute_dtype)
+            pad = (-W_err.shape[1]) % 8
+            if pad:
+                W_err = np.pad(W_err, ((0, 0), (0, pad)))
+                S_err = np.pad(S_err, ((0, pad), (0, 0)))
             prediction_error = float(
                 reconstruction_sse(
-                    norm_counts_dev,
-                    jnp.asarray(rf_usages.values.astype(self.compute_dtype)),
-                    jnp.asarray(median_spectra.values.astype(self.compute_dtype)),
+                    norm_counts_dev, jnp.asarray(W_err), jnp.asarray(S_err)
                 )
             )
             consensus_stats = pd.DataFrame(

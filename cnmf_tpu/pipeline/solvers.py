@@ -117,18 +117,30 @@ def refit_usages(
     re-uploading the full-gene TPM matrix."""
     solver = nmf_kwargs.get("solver", "cd")
     k = spectra.shape[0]
+    # zero-pad the component count to a bucket of 8 so refits across a K
+    # sweep share one compiled program (exact no-op for both solvers; the MU
+    # avg-init on padded components is irrelevant — their spectra rows are 0
+    # so their usage converges to 0 and is sliced away)
+    pad_k = -(-k // 8) * 8
+    spectra_p = np.ascontiguousarray(spectra.T, dtype=dtype)
+    if pad_k > k:
+        spectra_p = np.pad(spectra_p, ((0, 0), (0, pad_k - k)))
     if isinstance(X, jax.Array):
         Xd = X.astype(dtype) if X.dtype != dtype else X
         if solver == "mu":
             avg = float(jnp.sqrt(jnp.mean(Xd) / k))
-            W0 = jnp.full((1, Xd.shape[0], k), avg, dtype=dtype)
+            W0 = jnp.full((1, Xd.shape[0], pad_k), avg, dtype=dtype)
         else:
-            W0 = jnp.zeros((1, Xd.shape[0], k), dtype=dtype)
+            W0 = jnp.zeros((1, Xd.shape[0], pad_k), dtype=dtype)
     else:
         Xd = jnp.asarray(np.ascontiguousarray(X, dtype=dtype))
-        W0 = jnp.asarray(nnls_w_init(X, k, solver, dtype=dtype)[None])
-    Ht0 = jnp.asarray(np.ascontiguousarray(spectra.T, dtype=dtype)[None])
+        W0 = jnp.asarray(
+            np.pad(nnls_w_init(X, k, solver, dtype=dtype),
+                   ((0, 0), (0, pad_k - k)),
+                   mode="edge" if solver == "mu" else "constant")[None]
+        )
+    Ht0 = jnp.asarray(spectra_p[None])
     W, _, _ = solve_nmf_batch(
         Xd, W0, Ht0, nmf_kwargs, update_H=False, mu_chunk=mu_chunk
     )
-    return np.asarray(W[0])
+    return np.asarray(W[0, :, :k])

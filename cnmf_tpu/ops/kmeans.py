@@ -56,13 +56,23 @@ def _kmeans_plusplus(X: np.ndarray, n_clusters: int, rng: np.random.RandomState)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def _lloyd_batched(X: jax.Array, centers0: jax.Array, tol: jax.Array, max_iter: int):
-    """Run Lloyd iterations for a batch of inits.
+def _lloyd_batched(X: jax.Array, centers0: jax.Array, tol: jax.Array,
+                   n_points: jax.Array, n_clusters: jax.Array, max_iter: int):
+    """Run Lloyd iterations for a batch of inits on padded inputs.
 
-    X: (R, D); centers0: (I, k, D); tol: scalar (already scaled by mean var).
-    Returns (labels (I, R), inertia (I,), centers (I, k, D)).
+    X: (Rp, D) with zero rows past ``n_points``; centers0: (I, Kp, D) with
+    far-away sentinel rows past ``n_clusters``; tol: scalar (already scaled
+    by mean var). Padded points carry zero weight and padded clusters are
+    masked to +inf distance, so results are exactly the unpadded ones — the
+    padding exists so every (R, k) configuration in a K-selection sweep maps
+    onto a handful of compiled programs.
+    Returns (labels (I, Rp), inertia (I,), centers (I, Kp, D)).
     """
+    Rp = X.shape[0]
+    Kp = centers0.shape[1]
     x_sq = jnp.sum(X * X, axis=1)
+    w = (jnp.arange(Rp) < n_points).astype(X.dtype)       # point weights
+    col_real = jnp.arange(Kp) < n_clusters                # real clusters
 
     def assign(centers):
         c_sq = jnp.sum(centers * centers, axis=1)
@@ -70,32 +80,36 @@ def _lloyd_batched(X: jax.Array, centers0: jax.Array, tol: jax.Array, max_iter: 
             X, centers.T, preferred_element_type=X.dtype, precision=MATMUL_PRECISION
         )
         d2 = jnp.maximum(d2, 0.0)
+        d2 = jnp.where(col_real[None, :], d2, jnp.inf)
         labels = jnp.argmin(d2, axis=1)
-        min_d2 = jnp.min(d2, axis=1)
+        min_d2 = jnp.min(d2, axis=1) * w
         return labels, min_d2
 
     def update(labels, min_d2, centers):
-        k = centers.shape[0]
-        onehot = jax.nn.one_hot(labels, k, dtype=X.dtype)  # (R, k)
+        onehot = jax.nn.one_hot(labels, Kp, dtype=X.dtype) * w[:, None]
         counts = jnp.sum(onehot, axis=0)
         sums = jnp.dot(onehot.T, X, preferred_element_type=X.dtype, precision=MATMUL_PRECISION)
 
-        # relocate empty clusters to the points farthest from their centers
-        # (sklearn _relocate_empty_clusters semantics)
-        order = jnp.argsort(-min_d2)
+        # relocate empty (real) clusters to the points farthest from their
+        # centers (sklearn _relocate_empty_clusters semantics); padded points
+        # sort last
+        order = jnp.argsort(-jnp.where(w > 0, min_d2, -jnp.inf))
 
         def relocate(i, carry):
             sums, counts, n_used = carry
-            empty = counts[i] == 0
+            empty = jnp.logical_and(counts[i] == 0, col_real[i])
             far_idx = order[n_used]
             sums = jnp.where(empty, sums.at[i].set(X[far_idx]), sums)
             counts = jnp.where(empty, counts.at[i].set(1.0), counts)
             return sums, counts, n_used + jnp.where(empty, 1, 0)
 
         sums, counts, _ = jax.lax.fori_loop(
-            0, k, relocate, (sums, counts, jnp.zeros((), jnp.int32))
+            0, Kp, relocate, (sums, counts, jnp.zeros((), jnp.int32))
         )
-        return sums / counts[:, None]
+        safe_counts = jnp.where(counts == 0, 1.0, counts)
+        new_centers = sums / safe_counts[:, None]
+        # keep padded clusters at their far-away sentinel
+        return jnp.where(col_real[:, None], new_centers, centers)
 
     def one_init(centers0):
         def cond(state):
@@ -106,7 +120,9 @@ def _lloyd_batched(X: jax.Array, centers0: jax.Array, tol: jax.Array, max_iter: 
             it, done, centers, _, _ = state
             labels, min_d2 = assign(centers)
             new_centers = update(labels, min_d2, centers)
-            shift = jnp.sum((new_centers - centers) ** 2)
+            shift = jnp.sum(
+                jnp.where(col_real[:, None], (new_centers - centers) ** 2, 0.0)
+            )
             return it + 1, shift <= tol, new_centers, labels, jnp.sum(min_d2)
 
         labels0, min_d2_0 = assign(centers0)
@@ -123,6 +139,11 @@ def _lloyd_batched(X: jax.Array, centers0: jax.Array, tol: jax.Array, max_iter: 
     return jax.vmap(one_init)(centers0)
 
 
+# distance of the padded-cluster sentinel: far enough that no real point can
+# win its argmin, small enough that squaring stays finite in float32
+_PAD_SENTINEL = 1e15
+
+
 def kmeans_fit(
     X: np.ndarray,
     n_clusters: int,
@@ -130,22 +151,39 @@ def kmeans_fit(
     random_state: int = 1,
     max_iter: int = 300,
     tol: float = 1e-4,
+    pad_points_to: int = 256,
+    pad_clusters_to: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
-    """Full KMeans fit: returns (labels, centers, inertia) of the best init."""
+    """Full KMeans fit: returns (labels, centers, inertia) of the best init.
+
+    Inputs are zero/sentinel-padded to shape buckets (exact no-op, see
+    _lloyd_batched) so K-selection sweeps reuse compiled programs.
+    """
     X = np.ascontiguousarray(X)
+    R, D = X.shape
     rng = np.random.RandomState(random_state)
     centers0 = np.stack(
         [_kmeans_plusplus(X, n_clusters, rng) for _ in range(n_init)]
     )
     # sklearn scales tol by the mean per-feature variance of X
     scaled_tol = tol * float(np.mean(np.var(X, axis=0)))
+
+    Rp = -(-R // pad_points_to) * pad_points_to
+    Kp = -(-n_clusters // pad_clusters_to) * pad_clusters_to
+    Xp = np.zeros((Rp, D), dtype=X.dtype)
+    Xp[:R] = X
+    c0 = np.full((n_init, Kp, D), _PAD_SENTINEL, dtype=X.dtype)
+    c0[:, :n_clusters] = centers0
+
     labels, inertia, centers = _lloyd_batched(
-        jnp.asarray(X), jnp.asarray(centers0), jnp.asarray(scaled_tol, dtype=X.dtype),
+        jnp.asarray(Xp), jnp.asarray(c0),
+        jnp.asarray(scaled_tol, dtype=X.dtype),
+        jnp.asarray(R, jnp.int32), jnp.asarray(n_clusters, jnp.int32),
         max_iter,
     )
     best = int(np.argmin(np.asarray(inertia)))
     return (
-        np.asarray(labels[best]),
-        np.asarray(centers[best]),
+        np.asarray(labels[best][:R]),
+        np.asarray(centers[best][:n_clusters]),
         float(inertia[best]),
     )

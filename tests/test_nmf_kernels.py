@@ -184,3 +184,18 @@ def test_compacted_cd_matches_plain():
     np.testing.assert_array_equal(np.asarray(n_p), n_c)
     np.testing.assert_allclose(np.asarray(Htp), Htc, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(Wp), Wc, rtol=1e-10, atol=1e-12)
+
+
+def test_kmeans_padding_exact():
+    """Point/cluster padding in kmeans_fit must not change the fit."""
+    from cnmf_tpu.ops.kmeans import kmeans_fit
+
+    rng = np.random.RandomState(4)
+    X = rng.rand(123, 20).astype(np.float64)
+    l1, c1, i1 = kmeans_fit(X, 7, n_init=5, random_state=1,
+                            pad_points_to=256, pad_clusters_to=8)
+    l2, c2, i2 = kmeans_fit(X, 7, n_init=5, random_state=1,
+                            pad_points_to=1, pad_clusters_to=1)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(c1, c2, rtol=1e-12)
+    assert abs(i1 - i2) / i1 < 1e-12

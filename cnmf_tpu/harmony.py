@@ -204,21 +204,31 @@ def run_harmony(
         )
         return kmeans_error + entropy + cross
 
-    # block structure: permuted equal-length blocks with padding mask
+    # block structure: permuted equal-length blocks with padding mask. The
+    # cells reshuffle every R-update round (harmonypy reshuffles per
+    # update_R call) — a pool of max_iter_kmeans permutations is precomputed
+    # and indexed by round inside the fused device loop.
     n_blocks = int(np.ceil(1.0 / block_size))
-    perm = rng.permutation(N)
     L = int(np.ceil(N / n_blocks))
     pad = n_blocks * L - N
-    # pad with out-of-range indices: gathers fill with 0, scatters drop
-    idx = np.concatenate([perm, np.full(pad, N, dtype=perm.dtype)])
-    mask = np.concatenate([np.ones(N, np.float32), np.zeros(pad, np.float32)])
-    block_idx = jnp.asarray(idx.reshape(n_blocks, L))
-    block_mask = jnp.asarray(mask.reshape(n_blocks, L))
+    perms = []
+    masks = []
+    for _ in range(max_iter_kmeans):
+        perm = rng.permutation(N)
+        # pad with out-of-range indices: gathers fill with 0, scatters drop
+        idx = np.concatenate([perm, np.full(pad, N, dtype=perm.dtype)])
+        mask = np.concatenate([np.ones(N, np.float32), np.zeros(pad, np.float32)])
+        perms.append(idx.reshape(n_blocks, L))
+        masks.append(mask.reshape(n_blocks, L))
+    block_idx_pool = jnp.asarray(np.stack(perms))    # (P, n_blocks, L)
+    block_mask_pool = jnp.asarray(np.stack(masks))
 
-    def kmeans_round(Y, Z_cos, R, E, O):
+    def kmeans_round(kit, Y, Z_cos, R, E, O):
         dist = 2.0 * (1.0 - jnp.dot(Y.T, Z_cos, precision=MATMUL_PRECISION))
         sd = -dist / sig[:, None]
         sd = jnp.exp(sd - jnp.max(sd, axis=0, keepdims=True))
+        block_idx = block_idx_pool[kit % max_iter_kmeans]
+        block_mask = block_mask_pool[kit % max_iter_kmeans]
         R, E, O = _update_R_blocked(sd, R, E, O, phid, Prb, thetad,
                                     block_idx, block_mask, n_blocks)
         Y = jnp.dot(Z_cos, R.T, precision=MATMUL_PRECISION)
@@ -237,7 +247,7 @@ def run_harmony(
 
         def body(state):
             kit, _, Y, R, E, O, prev_obj, obj = state
-            Y, R, E, O, dist = kmeans_round(Y, Z_cos, R, E, O)
+            Y, R, E, O, dist = kmeans_round(kit, Y, Z_cos, R, E, O)
             new_obj = objective(R, dist, E, O)
             done = jnp.logical_and(
                 kit > 2,

@@ -54,15 +54,6 @@ def _sum_smallest(dist: jax.Array, count: jax.Array) -> jax.Array:
     return total
 
 
-@jax.jit
-def knn_local_density(dist: jax.Array, n_neighbors: jax.Array) -> jax.Array:
-    """Mean distance to the n nearest neighbors per row.
-
-    Matches the reference's estimator (cnmf.py:893-898): sum the
-    ``n_neighbors+1`` smallest distances per row (self included at distance 0)
-    and divide by ``n_neighbors``."""
-    n_neighbors = jnp.asarray(n_neighbors, jnp.int32)
-    return _sum_smallest(dist, n_neighbors + 1) / n_neighbors.astype(dist.dtype)
 
 
 @jax.jit

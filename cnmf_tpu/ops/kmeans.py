@@ -91,16 +91,20 @@ def _lloyd_batched(X: jax.Array, centers0: jax.Array, tol: jax.Array,
         sums = jnp.dot(onehot.T, X, preferred_element_type=X.dtype, precision=MATMUL_PRECISION)
 
         # relocate empty (real) clusters to the points farthest from their
-        # centers (sklearn _relocate_empty_clusters semantics); padded points
-        # sort last
+        # centers (sklearn _relocate_empty_clusters semantics: the point's
+        # weight MOVES — it is subtracted from its source cluster); padded
+        # points sort last
         order = jnp.argsort(-jnp.where(w > 0, min_d2, -jnp.inf))
 
         def relocate(i, carry):
             sums, counts, n_used = carry
             empty = jnp.logical_and(counts[i] == 0, col_real[i])
             far_idx = order[n_used]
-            sums = jnp.where(empty, sums.at[i].set(X[far_idx]), sums)
-            counts = jnp.where(empty, counts.at[i].set(1.0), counts)
+            src = labels[far_idx]  # never == i: cluster i is empty
+            moved_sums = sums.at[src].add(-X[far_idx]).at[i].set(X[far_idx])
+            moved_counts = counts.at[src].add(-1.0).at[i].set(1.0)
+            sums = jnp.where(empty, moved_sums, sums)
+            counts = jnp.where(empty, moved_counts, counts)
             return sums, counts, n_used + jnp.where(empty, 1, 0)
 
         sums, counts, _ = jax.lax.fori_loop(

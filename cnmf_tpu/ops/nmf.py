@@ -121,13 +121,6 @@ def _cd_half_sweep(F, G, P, l1_reg: float, l2_reg: float):
     return F, violation
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "tol", "max_iter", "update_H", "l1_reg_W", "l1_reg_H",
-        "l2_reg_W", "l2_reg_H",
-    ),
-)
 def nmf_coordinate_descent(
     X: jax.Array,
     W0: jax.Array,
@@ -152,58 +145,20 @@ def nmf_coordinate_descent(
     Returns
     -------
     W : (B, N, K), Ht : (B, G, K), n_iter : (B,) int32 sweeps executed.
+
+    One full run is a single segment of the resumable kernel (the sweep and
+    convergence logic lives in nmf_cd_segment only).
     """
     B = W0.shape[0]
-    dtype = W0.dtype
-
-    def cond(state):
-        it, done, *_ = state
-        return jnp.logical_and(it < max_iter, jnp.logical_not(jnp.all(done)))
-
-    def body(state):
-        it, done, W, Ht, violation_init, n_iter = state
-
-        # --- update W given H ---
-        HHt = jnp.einsum("bgk,bgl->bkl", Ht, Ht, preferred_element_type=dtype, precision=MATMUL_PRECISION)
-        XHt = _shared_x_dot(X, Ht)
-        W_new, viol_w = _cd_half_sweep(W, HHt, XHt, l1_reg_W, l2_reg_W)
-
-        # --- update H given W ---
-        if update_H:
-            WtW = jnp.einsum(
-                "bnk,bnl->bkl", W_new, W_new, preferred_element_type=dtype, precision=MATMUL_PRECISION
-            )
-            XtW = _shared_xt_dot(X, W_new)
-            Ht_new, viol_h = _cd_half_sweep(Ht, WtW, XtW, l1_reg_H, l2_reg_H)
-        else:
-            Ht_new, viol_h = Ht, jnp.zeros_like(viol_w)
-
-        violation = viol_w + viol_h
-        violation_init = jnp.where(it == 0, violation, violation_init)
-
-        # freeze restarts that converged in an earlier sweep
-        keep = jnp.logical_not(done)
-        W = jnp.where(keep[:, None, None], W_new, W)
-        Ht = jnp.where(keep[:, None, None], Ht_new, Ht)
-        n_iter = jnp.where(keep, it + 1, n_iter)
-
-        newly_done = jnp.where(
-            violation_init == 0,
-            True,
-            violation / jnp.maximum(violation_init, EPSILON) <= tol,
-        )
-        done = jnp.logical_or(done, newly_done)
-        return it + 1, done, W, Ht, violation_init, n_iter
-
-    state0 = (
+    W0 = jnp.asarray(W0)
+    W, Ht, _, n_iter, _ = nmf_cd_segment(
+        X, W0, jnp.asarray(Ht0),
+        jnp.zeros(B, W0.dtype), jnp.zeros(B, jnp.int32), jnp.zeros(B, bool),
         jnp.zeros((), jnp.int32),
-        jnp.zeros((B,), jnp.bool_),
-        W0,
-        Ht0,
-        jnp.zeros((B,), dtype),
-        jnp.zeros((B,), jnp.int32),
+        seg_len=max_iter, tol=tol, update_H=update_H,
+        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
     )
-    _, _, W, Ht, _, n_iter = jax.lax.while_loop(cond, body, state0)
     return W, Ht, n_iter
 
 

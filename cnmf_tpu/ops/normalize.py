@@ -2,14 +2,12 @@
 
 TPM (per-cell library-size) normalization and unit-variance gene scaling,
 replacing the reference's scanpy calls (``sc.pp.normalize_total`` at
-cnmf.py:250 and ``sc.pp.scale(zero_center=False)`` at cnmf.py:538). Host
-(numpy/scipy, sparse-aware) and device (JAX dense) variants.
+cnmf.py:250 and ``sc.pp.scale(zero_center=False)`` at cnmf.py:538). Host-side (numpy/scipy, sparse-aware) — at O(nnz) single-pass
+cost these stay on host; the device-resident compute paths normalize inline.
 """
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
@@ -30,11 +28,6 @@ def normalize_total(X, target_sum: float = 1e6):
     return X * (target_sum / safe)
 
 
-@jax.jit
-def normalize_total_device(X: jax.Array, target_sum: float = 1e6) -> jax.Array:
-    totals = jnp.sum(X, axis=1, keepdims=True)
-    safe = jnp.where(totals == 0, 1.0, totals)
-    return X * (target_sum / safe)
 
 
 def scale_unit_variance(X, ddof: int = 1, zero_safe: bool = True):
@@ -62,8 +55,3 @@ def scale_unit_variance(X, ddof: int = 1, zero_safe: bool = True):
     return X / std
 
 
-@jax.jit
-def l2_normalize_rows(X: jax.Array) -> jax.Array:
-    """Rescale rows to unit L2 norm (consensus spectra prep, cnmf.py:881-882)."""
-    norms = jnp.sqrt(jnp.sum(X * X, axis=1, keepdims=True))
-    return X / norms

@@ -32,13 +32,16 @@ def _xty_zscored(U: jax.Array, Y: jax.Array, mean: jax.Array, inv_std: jax.Array
 def efficient_ols_all_cols(
     U: np.ndarray,
     Y,
-    batch_size: int = 65536,
+    batch_size: int = 16384,
     normalize_y: bool = False,
     dtype=np.float32,
 ) -> np.ndarray:
     """OLS coefficients (n_predictors × n_targets) of Y columns on U.
 
-    U: (N, K) dense usages. Y: (N, G) dense or sparse targets. With
+    U: (N, K) dense usages. Y: (N, G) targets — a device-resident jax array
+    (consensus's normal path: one matmul) or a host dense/sparse matrix, in
+    which case XtY accumulates over ROW batches like the reference
+    (cnmf.py:101-119) so only a (batch × G) tile densifies at a time. With
     ``normalize_y``, Y columns are globally z-scored (var floored at 1e-12,
     reference cnmf.py:89-95) — folded into the matmul rather than
     materialized.
@@ -63,25 +66,41 @@ def efficient_ols_all_cols(
     XtX = (U.T @ U).astype(np.float64)
     Ud = jnp.asarray(U)
 
-    g = Y.shape[1]
-    xty_parts = []
-    for start in range(0, g, batch_size):
-        end = min(start + batch_size, g)
-        Yb = Y[:, start:end]
-        if sp.issparse(Yb):
-            Yb = Yb.toarray()
-        if isinstance(Yb, jax.Array):
-            Yb = Yb.astype(dtype) if Yb.dtype != dtype else Yb
-        else:
-            Yb = jnp.asarray(np.ascontiguousarray(Yb, dtype=dtype))
+    if isinstance(Y, jax.Array):
+        Yd = Y.astype(dtype) if Y.dtype != dtype else Y
         if normalize_y:
-            part = _xty_zscored(
-                Ud, Yb, jnp.asarray(mean_y[start:end]), jnp.asarray(inv_std[start:end])
+            XtY = np.asarray(
+                _xty_zscored(Ud, Yd, jnp.asarray(mean_y), jnp.asarray(inv_std)),
+                dtype=np.float64,
             )
         else:
-            part = jnp.dot(Ud.T, Yb, preferred_element_type=Ud.dtype, precision=MATMUL_PRECISION)
-        xty_parts.append(np.asarray(part, dtype=np.float64))
-    XtY = np.concatenate(xty_parts, axis=1)
+            XtY = np.asarray(
+                jnp.dot(Ud.T, Yd, preferred_element_type=Ud.dtype,
+                        precision=MATMUL_PRECISION),
+                dtype=np.float64,
+            )
+    else:
+        # host fallback: row-batched accumulation bounds memory at
+        # batch_size × G regardless of N
+        g = Y.shape[1]
+        mean_d = jnp.asarray(mean_y) if normalize_y else None
+        inv_d = jnp.asarray(inv_std) if normalize_y else None
+        XtY_acc = jnp.zeros((k, g), dtype=dtype)
+        for start in range(0, n, batch_size):
+            end = min(start + batch_size, n)
+            Yb = Y[start:end]
+            if sp.issparse(Yb):
+                Yb = Yb.toarray()
+            Yb = jnp.asarray(np.ascontiguousarray(Yb, dtype=dtype))
+            Ub = Ud[start:end]
+            if normalize_y:
+                XtY_acc = XtY_acc + _xty_zscored(Ub, Yb, mean_d, inv_d)
+            else:
+                XtY_acc = XtY_acc + jnp.dot(
+                    Ub.T, Yb, preferred_element_type=dtype,
+                    precision=MATMUL_PRECISION,
+                )
+        XtY = np.asarray(XtY_acc, dtype=np.float64)
 
     beta, *_ = np.linalg.lstsq(XtX, XtY, rcond=None)
     return beta

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 import scipy.sparse as sp
@@ -34,12 +32,6 @@ def mean_var(X, ddof: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     return mean.astype(np.float64), var.astype(np.float64)
 
 
-@jax.jit
-def mean_var_device(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Per-column mean/var (ddof=0) on device for dense HBM-resident X."""
-    mean = jnp.mean(X, axis=0)
-    var = jnp.mean(X * X, axis=0) - mean * mean
-    return mean, jnp.maximum(var, 0.0)
 
 
 def fano_hvg_stats(

@@ -46,7 +46,7 @@ from cnmf_tpu.ops.kmeans import kmeans_fit
 from cnmf_tpu.ops.nmf import reconstruction_sse
 from cnmf_tpu.ops.normalize import normalize_total, scale_unit_variance
 from cnmf_tpu.ops.ols import efficient_ols_all_cols
-from cnmf_tpu.ops.silhouette import silhouette_from_distances
+from cnmf_tpu.ops.silhouette import silhouette_score_padded
 from cnmf_tpu.ops.stats import get_highvar_genes, mean_var
 from cnmf_tpu.parallel.mesh import build_mesh, pad_to_multiple, shard_factorize_inputs
 from cnmf_tpu.pipeline.paths import build_paths
@@ -452,7 +452,11 @@ class cNMF:
                 W0, true_b = pad_to_multiple(W0, n_restart_shards)
                 Ht0, _ = pad_to_multiple(Ht0, n_restart_shards)
                 Xs, W0d, Ht0d = shard_factorize_inputs(mesh, Xd, W0, Ht0)
-                W, Ht, n_iter = solve_nmf_batch(Xs, W0d, Ht0d, nmf_kwargs)
+                # pallas_call has no GSPMD partitioning rule — keep the
+                # sharded path on the pure-XLA solvers
+                W, Ht, n_iter = solve_nmf_batch(
+                    Xs, W0d, Ht0d, nmf_kwargs, allow_pallas=False
+                )
                 Ht = Ht[:true_b]
             else:
                 # compaction measured slower than the plain batched solve on
@@ -536,7 +540,8 @@ class cNMF:
         for k in ks:
             self.combine_nmf(k, skip_missing_files=skip_missing_files)
 
-    def combine_nmf(self, k, skip_missing_files=False):
+    def combine_nmf(self, k, skip_missing_files=False,
+                    remove_individual_iterations=False):
         """Concatenate per-iteration spectra into the merged (n_iter·K × G)
         stack with ``iter{r}_topic{t}`` row labels (reference cnmf.py:748-773)."""
         import errno
@@ -577,6 +582,11 @@ class cNMF:
             values, index=index, columns=frames[0].columns
         )
         save_df_to_npz(combined_spectra, self.paths["merged_spectra"] % k)
+        if remove_individual_iterations:
+            # the reference accepts this kwarg without acting on it
+            # (cnmf.py:748); here it actually deletes the per-iteration files
+            for _, f in files:
+                os.remove(f)
         return combined_spectra
 
     # ==================================================================
@@ -696,13 +706,16 @@ class cNMF:
         # stats path) the reconstruction error — and cached across the
         # k_selection_plot sweep, which passes the same preloaded object for
         # every K (reference cnmf.py:1124-1130)
-        cache_key = id(norm_counts)
+        import weakref
+
         cached = getattr(self, "_norm_counts_dev_cache", None)
-        if cached is not None and cached[0] == cache_key:
+        if cached is not None and cached[0]() is norm_counts:
             norm_counts_dev = cached[1]
         else:
             norm_counts_dev = to_device(norm_counts.X)
-            self._norm_counts_dev_cache = (cache_key, norm_counts_dev)
+            # weakref key: a dead referent can never alias a new object (an
+            # id() key could, via CPython address reuse)
+            self._norm_counts_dev_cache = (weakref.ref(norm_counts), norm_counts_dev)
         rf_usages = refit_usages(
             norm_counts_dev, median_spectra.values, nmf_kwargs,
             dtype=self.compute_dtype,
@@ -712,13 +725,10 @@ class cNMF:
         )
 
         if skip_density_and_return_after_stats:
-            dist = pairwise_euclidean(
-                jnp.asarray(l2_spectra.values.astype(self.compute_dtype))
-            )
-            silhouette = float(
-                silhouette_from_distances(
-                    dist, jnp.asarray(labels), int(k)
-                )
+            # shape-bucketed silhouette: the K-selection sweep reuses one
+            # compiled program per (R-bucket, K-bucket)
+            silhouette = silhouette_score_padded(
+                l2_spectra.values.astype(self.compute_dtype), labels, int(k)
             )
             # zero-pad K to a bucket of 8 so the 9-K selection sweep shares
             # one compiled SSE program (padded components contribute 0 exactly)
@@ -755,7 +765,10 @@ class cNMF:
         # final refit (at atlas scale fall back to the chunked host path)
         tpm = read_h5ad(self.paths["tpm"])
         tpm_stats = load_df_from_npz(self.paths["tpm_stats"])
-        tpm_on_device = tpm.X.shape[0] * tpm.X.shape[1] * 4 < 4e9
+        tpm_on_device = (
+            tpm.X.shape[0] * tpm.X.shape[1] * 4
+            < getattr(self, "tpm_device_bytes_limit", 4e9)
+        )
         tpm_src = to_device(tpm.X) if tpm_on_device else tpm.X
 
         if tpm_on_device:
@@ -764,7 +777,29 @@ class cNMF:
                 nmf_kwargs, dtype=self.compute_dtype,
             ).T
         else:
-            spectra_tpm_vals = np.asarray(self.refit_spectra(tpm.X, norm_usages))
+            # atlas fallback: the fixed-usage NNLS decomposes per gene, so
+            # solve in gene chunks (only a chunk × N tile densifies at a
+            # time). Deviation from the joint reference solve: the relative
+            # convergence tolerance applies per chunk rather than globally —
+            # each chunk still converges to the same NNLS optimum.
+            usage_t = np.ascontiguousarray(
+                norm_usages.values.T, dtype=self.compute_dtype
+            )
+            g_total = tpm.X.shape[1]
+            gene_chunk = max(1, int(2e9 / max(tpm.X.shape[0] * 4, 1)))
+            parts = []
+            tpm_csc = tpm.X.tocsc() if sp.issparse(tpm.X) else tpm.X
+            for gstart in range(0, g_total, gene_chunk):
+                gend = min(gstart + gene_chunk, g_total)
+                block = tpm_csc[:, gstart:gend]
+                block = block.toarray() if sp.issparse(block) else np.asarray(block)
+                parts.append(
+                    refit_usages(
+                        np.ascontiguousarray(block.T, dtype=self.compute_dtype),
+                        usage_t, nmf_kwargs, dtype=self.compute_dtype,
+                    )
+                )
+            spectra_tpm_vals = np.concatenate(parts, axis=0).T
         spectra_tpm = pd.DataFrame(
             spectra_tpm_vals, index=rf_usages.columns, columns=tpm.var.index
         )

@@ -54,6 +54,7 @@ def solve_nmf_batch(
     update_H: bool = True,
     mu_chunk: int = 8,
     compact: bool = False,
+    allow_pallas: bool = True,
 ) -> Tuple[jax.Array, jax.Array, np.ndarray]:
     """Run the batched solver described by sklearn-style kwargs.
 
@@ -86,10 +87,13 @@ def solve_nmf_batch(
             l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
             l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
         )
-    # Fused Pallas kernels keep the N×G reconstruction in VMEM for the KL
-    # loss on TPU (the XLA path materializes it in HBM chunk by chunk)
+    # Fused Pallas kernels keep the N×G reconstruction in VMEM for the
+    # beta != 2 losses on TPU (the XLA path materializes it in HBM chunk by
+    # chunk). Disabled under the sharded mesh path — pallas_call has no GSPMD
+    # partitioning rule.
     use_pallas = (
-        beta == 1.0
+        allow_pallas
+        and beta != 2.0
         and jax.default_backend() == "tpu"
         and jnp.asarray(W0).dtype == jnp.float32
         and os.environ.get("CNMF_TPU_PALLAS", "1") == "1"

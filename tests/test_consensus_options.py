@@ -65,3 +65,26 @@ def test_consensus_stats_records_threshold(run):
     assert float(stats.loc["local_density_threshold"].iloc[0]) == 0.7
     assert np.isfinite(float(stats.loc["silhouette"].iloc[0]))
     assert float(stats.loc["prediction_error"].iloc[0]) > 0
+
+
+def test_atlas_host_fallback_matches_device_path(run):
+    """Forcing the >4GB-TPM host fallback (gene-chunked NNLS + row-batched
+    OLS) must reproduce the device path's artifacts."""
+    from cnmf_tpu.io.h5ad import read_h5ad  # noqa: F401
+
+    device_tpm = load_df_from_npz(run.paths["gene_spectra_tpm"] % (5, "1_9"))
+    device_score = load_df_from_npz(run.paths["gene_spectra_score"] % (5, "1_9"))
+
+    run.tpm_device_bytes_limit = 1  # force the fallback branch
+    try:
+        run.consensus(k=5, density_threshold=1.9, show_clustering=False,
+                      refit_usage=False)
+    finally:
+        del run.tpm_device_bytes_limit
+
+    fb_tpm = load_df_from_npz(run.paths["gene_spectra_tpm"] % (5, "1_9"))
+    fb_score = load_df_from_npz(run.paths["gene_spectra_score"] % (5, "1_9"))
+    scale = float((device_tpm.values ** 2).sum())
+    assert ((fb_tpm.values - device_tpm.values) ** 2).sum() / scale < 1e-6
+    scale = float((device_score.values ** 2).sum())
+    assert ((fb_score.values - device_score.values) ** 2).sum() / scale < 1e-6

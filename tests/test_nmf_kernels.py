@@ -199,3 +199,15 @@ def test_kmeans_padding_exact():
     np.testing.assert_array_equal(l1, l2)
     np.testing.assert_allclose(c1, c2, rtol=1e-12)
     assert abs(i1 - i2) / i1 < 1e-12
+
+
+def test_silhouette_padded_matches_sklearn():
+    from sklearn.metrics import silhouette_score as sk_sil
+    from cnmf_tpu.ops.silhouette import silhouette_score_padded
+
+    rng = np.random.RandomState(7)
+    X = rng.rand(237, 40)
+    labels = rng.randint(0, 6, size=237)
+    ours = silhouette_score_padded(X, labels, 6)
+    ref = sk_sil(X, labels, metric="euclidean")
+    assert abs(ours - ref) < 1e-9

@@ -108,14 +108,17 @@ def highly_variable_genes_seurat_v3(
     clip_val = mean + vmax * reg_std
 
     if sp.issparse(X):
+        # one vectorized pass over the nonzeros: clip each value at its
+        # gene's ceiling, then segment-sum per gene via reduceat
         Xc = X.tocsc()
-        squared_sum = np.zeros(X.shape[1])
-        clipped_sum = np.zeros(X.shape[1])
-        for j in range(X.shape[1]):
-            col = Xc.data[Xc.indptr[j]:Xc.indptr[j + 1]]
-            clipped = np.minimum(col, clip_val[j])
-            squared_sum[j] = (clipped**2).sum()
-            clipped_sum[j] = clipped.sum()
+        gene_of_nz = np.repeat(
+            np.arange(X.shape[1]), np.diff(Xc.indptr)
+        )
+        clipped = np.minimum(Xc.data, clip_val[gene_of_nz])
+        squared_sum = np.bincount(gene_of_nz, weights=clipped**2,
+                                  minlength=X.shape[1])
+        clipped_sum = np.bincount(gene_of_nz, weights=clipped,
+                                  minlength=X.shape[1])
     else:
         clipped = np.minimum(np.asarray(X), clip_val[None, :])
         squared_sum = (clipped**2).sum(axis=0)

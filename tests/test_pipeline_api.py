@@ -113,3 +113,34 @@ def test_auto_name_format(tmp_path):
     import re
 
     assert re.match(r"\d{4}_\d{2}_\d{2}_[0-9a-f]{6}$", obj.name)
+
+
+def test_yaml_kwargs_contract(run):
+    """The persisted solver kwargs must carry the reference's exact keys and
+    defaults, including the cd-for-frobenius flip (reference cnmf.py:618-631)."""
+    import yaml
+
+    kwargs = yaml.load(open(run.paths["nmf_run_parameters"]), Loader=yaml.FullLoader)
+    assert kwargs == {
+        "alpha_W": 0.0, "alpha_H": 0.0, "l1_ratio": 0.0,
+        "beta_loss": "frobenius", "solver": "cd", "tol": 1e-4,
+        "max_iter": 1000, "init": "random",
+    }
+
+
+def test_kl_yaml_uses_mu(tmp_path):
+    import yaml
+    from cnmf_tpu import cNMF
+
+    rng = np.random.RandomState(0)
+    X = rng.poisson(3.0, size=(60, 80)).astype(float)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(X, index=[f"c{i}" for i in range(60)],
+                      columns=[f"g{j}" for j in range(80)])
+    fn = str(tmp_path / "c.txt")
+    df.to_csv(fn, sep="\t")
+    obj = cNMF(output_dir=str(tmp_path), name="kl")
+    obj.prepare(counts_fn=fn, components=[3], n_iter=2, seed=1,
+                num_highvar_genes=40, beta_loss="kullback-leibler")
+    kwargs = yaml.load(open(obj.paths["nmf_run_parameters"]), Loader=yaml.FullLoader)
+    assert kwargs["solver"] == "mu" and kwargs["beta_loss"] == "kullback-leibler"

@@ -135,3 +135,17 @@ def test_select_features_mi():
     top = set(out.var.index[out.var["highly_variable"]])
     shifted = {f"g{j}" for j in range(30)}
     assert len(top & shifted) >= 5
+
+
+def test_harmony_deterministic():
+    from cnmf_tpu import harmony as hm
+
+    rng = np.random.RandomState(1)
+    Z = rng.normal(0, 1, size=(200, 12)).astype(np.float32)
+    batch = np.array(["a", "b"] * 100)
+    Z[batch == "b"] += 1.0
+    obs = pd.DataFrame({"batch": batch})
+    r1 = hm.run_harmony(Z, obs, ["batch"], max_iter_harmony=3, random_state=0)
+    r2 = hm.run_harmony(Z, obs, ["batch"], max_iter_harmony=3, random_state=0)
+    np.testing.assert_array_equal(r1.Z_corr, r2.Z_corr)
+    np.testing.assert_array_equal(r1.R, r2.R)

@@ -155,7 +155,7 @@ def kmeans_fit(
     random_state: int = 1,
     max_iter: int = 300,
     tol: float = 1e-4,
-    pad_points_to: int = 256,
+    pad_points_to: int = 512,
     pad_clusters_to: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Full KMeans fit: returns (labels, centers, inertia) of the best init.

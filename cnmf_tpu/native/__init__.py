@@ -1,0 +1,128 @@
+"""Native (C++/OpenMP) host kernels, loaded via ctypes.
+
+The compute path is JAX/XLA/Pallas on device; these cover the host-bound
+pieces that feed it — currently the CSR→dense expansion of multi-GB counts /
+TPM matrices (scipy's ``.toarray()`` is single-threaded; rows expand
+independently, so this threads linearly).
+
+The shared library builds on first use with g++ (cached beside the source);
+every entry point falls back to scipy/numpy when no compiler is available, so
+the package works without a native toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+import scipy.sparse as sp
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "densify.cpp")
+_LIB_PATH = os.path.join(_HERE, "_densify.so")
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        _SRC, "-o", _LIB_PATH,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        # no compiler / failed build → scipy fallback
+        return False
+
+
+def _load():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+        ):
+            if not _build():
+                _lib_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _lib_failed = True
+            return None
+        for name, data_t in [
+            ("densify_csr_f32", ctypes.c_float),
+            ("densify_csr_f64", ctypes.c_double),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.POINTER(data_t), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(data_t),
+            ]
+        lib.densify_csr_f64_to_f32.restype = None
+        lib.densify_csr_f64_to_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+        return _lib
+
+
+def densify_csr(X, out_dtype=None) -> np.ndarray:
+    """CSR → C-contiguous dense, threaded. Falls back to scipy when no
+    native library is available. ``out_dtype`` optionally casts during
+    expansion (f64 data → f32 dense without an intermediate)."""
+    if not sp.issparse(X):
+        arr = np.asarray(X)
+        return arr.astype(out_dtype) if out_dtype is not None else arr
+    Xc = X.tocsr()
+    out_dtype = np.dtype(out_dtype) if out_dtype is not None else Xc.dtype
+
+    lib = _load()
+    n_rows, n_cols = Xc.shape
+    indices = np.ascontiguousarray(Xc.indices, dtype=np.int32)
+    indptr = np.ascontiguousarray(Xc.indptr, dtype=np.int64)
+
+    if lib is not None:
+        out = np.empty((n_rows, n_cols), dtype=out_dtype)
+        i32 = indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        i64 = indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        if Xc.dtype == np.float64 and out_dtype == np.float32:
+            data = np.ascontiguousarray(Xc.data)
+            lib.densify_csr_f64_to_f32(
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                i32, i64, n_rows, n_cols,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            return out
+        if out_dtype == np.float32:
+            data = np.ascontiguousarray(Xc.data, dtype=np.float32)
+            lib.densify_csr_f32(
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                i32, i64, n_rows, n_cols,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            return out
+        if out_dtype == np.float64:
+            data = np.ascontiguousarray(Xc.data, dtype=np.float64)
+            lib.densify_csr_f64(
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                i32, i64, n_rows, n_cols,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            )
+            return out
+
+    # scipy fallback (or unusual dtype)
+    return Xc.toarray().astype(out_dtype, copy=False)

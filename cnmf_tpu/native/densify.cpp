@@ -1,0 +1,56 @@
+// Threaded CSR -> dense expansion (float32 / float64).
+//
+// The largest host-side cost at atlas scale is expanding the sparse counts /
+// TPM matrices into the dense HBM layout the device kernels consume;
+// scipy's .toarray() is single-threaded. Rows are independent, so this
+// parallelizes embarrassingly with OpenMP. Loaded via ctypes — no pybind11
+// dependency (see cnmf_tpu/native/__init__.py for the build-on-first-use
+// logic and the scipy fallback).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+void densify_csr_f32(const float* data, const int32_t* indices,
+                     const int64_t* indptr, int64_t n_rows, int64_t n_cols,
+                     float* out) {
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t i = 0; i < n_rows; ++i) {
+        float* row = out + i * n_cols;
+        std::memset(row, 0, sizeof(float) * n_cols);
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            row[indices[p]] = data[p];
+        }
+    }
+}
+
+void densify_csr_f64(const double* data, const int32_t* indices,
+                     const int64_t* indptr, int64_t n_rows, int64_t n_cols,
+                     double* out) {
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t i = 0; i < n_rows; ++i) {
+        double* row = out + i * n_cols;
+        std::memset(row, 0, sizeof(double) * n_cols);
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            row[indices[p]] = data[p];
+        }
+    }
+}
+
+// CSR f64/f32 -> dense f32 with direct cast (the common path: float64 h5ad
+// counts feeding float32 device buffers without an intermediate f64 dense)
+void densify_csr_f64_to_f32(const double* data, const int32_t* indices,
+                            const int64_t* indptr, int64_t n_rows,
+                            int64_t n_cols, float* out) {
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t i = 0; i < n_rows; ++i) {
+        float* row = out + i * n_cols;
+        std::memset(row, 0, sizeof(float) * n_cols);
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            row[indices[p]] = static_cast<float>(data[p]);
+        }
+    }
+}
+
+}  // extern "C"

@@ -40,6 +40,7 @@ from cnmf_tpu.io.dataframe import (
 )
 from cnmf_tpu.io.h5ad import read_h5ad, write_h5ad
 from cnmf_tpu.io.loaders import load_counts
+from cnmf_tpu.native import densify_csr
 from cnmf_tpu.ops.distance import local_density_from_spectra, pairwise_euclidean
 from cnmf_tpu.ops.init import nndsvd_init, random_init_batch
 from cnmf_tpu.ops.kmeans import kmeans_fit
@@ -326,10 +327,9 @@ class cNMF:
         # rather than on the first spectra fetch
         float(jnp.zeros(()))
 
-        X = norm_counts.X
-        if sp.issparse(X):
-            X = np.asarray(X.todense())
-        X = np.ascontiguousarray(X, dtype=self.compute_dtype)
+        # threaded native CSR->dense with fused dtype cast (cnmf_tpu.native)
+        X = densify_csr(norm_counts.X, out_dtype=self.compute_dtype)
+        X = np.ascontiguousarray(X)
         Xd = jnp.asarray(X)
 
         gene_index = norm_counts.var.index
@@ -664,8 +664,7 @@ class cNMF:
         )
 
         def to_device(Xm):
-            Xm = np.asarray(Xm.todense()) if sp.issparse(Xm) else np.asarray(Xm)
-            return jnp.asarray(np.ascontiguousarray(Xm, dtype=self.compute_dtype))
+            return jnp.asarray(densify_csr(Xm, out_dtype=self.compute_dtype))
 
         topics_dist = None
         if not skip_density_and_return_after_stats:

@@ -144,3 +144,46 @@ def test_kl_yaml_uses_mu(tmp_path):
                 num_highvar_genes=40, beta_loss="kullback-leibler")
     kwargs = yaml.load(open(obj.paths["nmf_run_parameters"]), Loader=yaml.FullLoader)
     assert kwargs["solver"] == "mu" and kwargs["beta_loss"] == "kullback-leibler"
+
+
+def test_prepare_rerun_warns_about_completed(run, tmp_path):
+    """Re-running prepare with completed iteration files warns instead of
+    clobbering (reference cnmf.py:612-616)."""
+    import warnings as w
+
+    counts_fn = os.path.normpath(os.path.join(
+        os.path.dirname(run.paths["nmf_genes_list"]), "..", "counts.txt"))
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        run.prepare(counts_fn=counts_fn, components=[5], n_iter=6, seed=2,
+                    num_highvar_genes=120)
+    assert any("already appear completed" in str(c.message) for c in caught)
+
+
+def test_combine_components_subset(run):
+    """combine(components=k) only touches that K (reference cnmf.py:474-483)."""
+    merged = run.paths["merged_spectra"] % 5
+    before = os.path.getmtime(merged)
+    run.combine(components=5)
+    assert os.path.getmtime(merged) >= before
+
+
+def test_consensus_preloaded_norm_counts_equivalent(run):
+    from cnmf_tpu.io.h5ad import read_h5ad
+
+    stats_a = run.consensus(k=5, skip_density_and_return_after_stats=True,
+                            show_clustering=False)
+    preloaded = read_h5ad(run.paths["normalized_counts"])
+    stats_b = run.consensus(k=5, skip_density_and_return_after_stats=True,
+                            show_clustering=False, norm_counts=preloaded)
+    np.testing.assert_allclose(
+        stats_a.loc["prediction_error"].values.astype(float),
+        stats_b.loc["prediction_error"].values.astype(float), rtol=1e-6,
+    )
+
+
+def test_clustergram_png_nontrivial(run):
+    run.consensus(k=5, density_threshold=1.8, show_clustering=True,
+                  close_clustergram_fig=True)
+    png = run.paths["clustering_plot"] % (5, "1_8")
+    assert os.path.exists(png) and os.path.getsize(png) > 10_000

@@ -94,3 +94,11 @@ def test_graft_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@requires_8_devices
+@pytest.mark.parametrize("n_devices", [1, 2, 4])
+def test_graft_dryrun_device_counts(n_devices):
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(n_devices)

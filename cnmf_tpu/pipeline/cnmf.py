@@ -92,6 +92,21 @@ class cNMF:
             check_dir_exists(os.path.join(self.output_dir, self.name, "cnmf_tmp"))
             self.paths = build_paths(self.output_dir, self.name)
 
+    def _read_h5ad_cached(self, path):
+        """mtime-invalidated single-entry-per-path h5ad cache — a consensus
+        sweep over many K values re-reads the same norm_counts / tpm files
+        (the full-gene tpm is hundreds of MB)."""
+        cache = getattr(self, "_h5ad_cache", None)
+        if cache is None:
+            cache = self._h5ad_cache = {}
+        mtime = os.path.getmtime(path)
+        hit = cache.get(path)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        adata = read_h5ad(path)
+        cache[path] = (mtime, adata)
+        return adata
+
     # ==================================================================
     # prepare
     # ==================================================================
@@ -644,7 +659,7 @@ class cNMF:
         KMeans, silhouette, NNLS refits and z-score OLS on device."""
         merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
         if norm_counts is None:
-            norm_counts = read_h5ad(self.paths["normalized_counts"])
+            norm_counts = self._read_h5ad_cached(self.paths["normalized_counts"])
 
         density_threshold_str = str(density_threshold)
         if skip_density_and_return_after_stats:
@@ -762,13 +777,23 @@ class cNMF:
         # TPM-unit spectra via fixed-usage NNLS over ALL genes — the full-gene
         # TPM matrix goes to device once and is reused by the OLS and the
         # final refit (at atlas scale fall back to the chunked host path)
-        tpm = read_h5ad(self.paths["tpm"])
+        tpm = self._read_h5ad_cached(self.paths["tpm"])
         tpm_stats = load_df_from_npz(self.paths["tpm_stats"])
         tpm_on_device = (
             tpm.X.shape[0] * tpm.X.shape[1] * 4
             < getattr(self, "tpm_device_bytes_limit", 4e9)
         )
-        tpm_src = to_device(tpm.X) if tpm_on_device else tpm.X
+        if tpm_on_device:
+            import weakref as _weakref
+
+            tcache = getattr(self, "_tpm_dev_cache", None)
+            if tcache is not None and tcache[0]() is tpm:
+                tpm_src = tcache[1]
+            else:
+                tpm_src = to_device(tpm.X)
+                self._tpm_dev_cache = (_weakref.ref(tpm), tpm_src)
+        else:
+            tpm_src = tpm.X
 
         if tpm_on_device:
             spectra_tpm_vals = refit_usages(

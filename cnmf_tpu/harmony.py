@@ -223,12 +223,12 @@ def run_harmony(
     block_idx_pool = jnp.asarray(np.stack(perms))    # (P, n_blocks, L)
     block_mask_pool = jnp.asarray(np.stack(masks))
 
-    def kmeans_round(kit, Y, Z_cos, R, E, O):
+    def kmeans_round(round_idx, Y, Z_cos, R, E, O):
         dist = 2.0 * (1.0 - jnp.dot(Y.T, Z_cos, precision=MATMUL_PRECISION))
         sd = -dist / sig[:, None]
         sd = jnp.exp(sd - jnp.max(sd, axis=0, keepdims=True))
-        block_idx = block_idx_pool[kit % max_iter_kmeans]
-        block_mask = block_mask_pool[kit % max_iter_kmeans]
+        block_idx = block_idx_pool[round_idx % pool_size]
+        block_mask = block_mask_pool[round_idx % pool_size]
         R, E, O = _update_R_blocked(sd, R, E, O, phid, Prb, thetad,
                                     block_idx, block_mask, n_blocks)
         Y = jnp.dot(Z_cos, R.T, precision=MATMUL_PRECISION)
@@ -236,8 +236,10 @@ def run_harmony(
         dist = 2.0 * (1.0 - jnp.dot(Y.T, Z_cos, precision=MATMUL_PRECISION))
         return Y, R, E, O, dist
 
+    pool_size = block_idx_pool.shape[0]
+
     @jax.jit
-    def harmony_iteration(Y, Z_cos, R, E, O):
+    def harmony_iteration(Y, Z_cos, R, E, O, round0):
         """One full Harmony iteration as a single device program: clustering
         rounds to convergence (a lax.while_loop — no host round-trips), then
         the MOE ridge correction of the embedding."""
@@ -247,7 +249,7 @@ def run_harmony(
 
         def body(state):
             kit, _, Y, R, E, O, prev_obj, obj = state
-            Y, R, E, O, dist = kmeans_round(kit, Y, Z_cos, R, E, O)
+            Y, R, E, O, dist = kmeans_round(round0 + kit, Y, Z_cos, R, E, O)
             new_obj = objective(R, dist, E, O)
             done = jnp.logical_and(
                 kit > 2,
@@ -261,17 +263,21 @@ def run_harmony(
             jnp.zeros((), jnp.int32), jnp.zeros((), bool),
             Y, R, E, O, inf, inf,
         )
-        _, _, Y, R, E, O, _, obj = jax.lax.while_loop(cond, body, state0)
+        kit_done, _, Y, R, E, O, _, obj = jax.lax.while_loop(cond, body, state0)
 
         Zcorr = _moe_correct_ridge(Zo, R, Phi_moed, lambd)
         Z_cos = Zcorr / jnp.maximum(
             jnp.linalg.norm(Zcorr, ord=2, axis=0, keepdims=True), 1e-12
         )
-        return Y, Z_cos, Zcorr, R, E, O, obj
+        return Y, Z_cos, Zcorr, R, E, O, obj, kit_done
 
     objectives = []
+    round_offset = 0
     for it in range(max_iter_harmony):
-        Yd, Zc, Zcorr, R, E, O, obj_dev = harmony_iteration(Yd, Zc, R, E, O)
+        Yd, Zc, Zcorr, R, E, O, obj_dev, kit_done = harmony_iteration(
+            Yd, Zc, R, E, O, jnp.asarray(round_offset, jnp.int32)
+        )
+        round_offset += int(kit_done)
         obj = float(obj_dev)
         objectives.append(obj)
         if verbose:

@@ -29,15 +29,23 @@ _lib_failed = False
 
 
 def _build() -> bool:
+    # compile to a private temp path and atomically rename so concurrent
+    # processes never load a half-written .so
+    tmp_path = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        _SRC, "-o", _LIB_PATH,
+        _SRC, "-o", tmp_path,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp_path, _LIB_PATH)
         return True
     except Exception:
         # no compiler / failed build → scipy fallback
+        try:
+            os.remove(tmp_path)
+        except OSError:
+            pass
         return False
 
 
@@ -48,9 +56,14 @@ def _load():
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
-        ):
+        try:
+            stale = not os.path.exists(_LIB_PATH) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+            )
+        except OSError:
+            stale = not os.path.exists(_LIB_PATH)
+        if stale:
             if not _build():
                 _lib_failed = True
                 return None
@@ -86,7 +99,9 @@ def densify_csr(X, out_dtype=None) -> np.ndarray:
     expansion (f64 data → f32 dense without an intermediate)."""
     if not sp.issparse(X):
         arr = np.asarray(X)
-        return arr.astype(out_dtype) if out_dtype is not None else arr
+        if out_dtype is not None:
+            arr = arr.astype(out_dtype, copy=False)
+        return arr
     Xc = X.tocsr()
     out_dtype = np.dtype(out_dtype) if out_dtype is not None else Xc.dtype
 

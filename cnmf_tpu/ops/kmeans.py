@@ -98,8 +98,13 @@ def _lloyd_batched(X: jax.Array, centers0: jax.Array, tol: jax.Array,
 
         def relocate(i, carry):
             sums, counts, n_used = carry
-            empty = jnp.logical_and(counts[i] == 0, col_real[i])
             far_idx = order[n_used]
+            # guard: never relocate onto a padded (zero-weight) point — can
+            # occur only in degenerate n_points < n_clusters configurations
+            empty = jnp.logical_and(
+                jnp.logical_and(counts[i] == 0, col_real[i]),
+                w[far_idx] > 0,
+            )
             src = labels[far_idx]  # never == i: cluster i is empty
             moved_sums = sums.at[src].add(-X[far_idx]).at[i].set(X[far_idx])
             moved_counts = counts.at[src].add(-1.0).at[i].set(1.0)
@@ -165,6 +170,10 @@ def kmeans_fit(
     """
     X = np.ascontiguousarray(X)
     R, D = X.shape
+    if R < n_clusters:
+        raise ValueError(
+            f"n_samples={R} should be >= n_clusters={n_clusters}"
+        )
     rng = np.random.RandomState(random_state)
     centers0 = np.stack(
         [_kmeans_plusplus(X, n_clusters, rng) for _ in range(n_init)]

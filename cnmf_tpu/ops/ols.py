@@ -53,10 +53,13 @@ def efficient_ols_all_cols(
 
     if normalize_y:
         if isinstance(Y, jax.Array):
-            mean_y = np.asarray(jnp.mean(Y, axis=0), dtype=np.float64)
-            var_y = np.asarray(
-                jnp.mean(Y * Y, axis=0), dtype=np.float64
-            ) - mean_y**2
+            # two-pass variance: E[(Y-mean)²] — the one-pass E[Y²]-mean² form
+            # catastrophically cancels in f32 for high-mean/low-variance TPM
+            # columns (measured ~36% beta error on mean≈1e3, std≈1 genes)
+            mean_d = jnp.mean(Y, axis=0)
+            var_d = jnp.mean(jnp.square(Y - mean_d[None, :]), axis=0)
+            mean_y = np.asarray(mean_d, dtype=np.float64)
+            var_y = np.asarray(var_d, dtype=np.float64)
         else:
             mean_y, var_y = mean_var(Y)
         var_y = np.maximum(var_y, 1e-12)

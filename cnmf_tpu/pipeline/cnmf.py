@@ -92,6 +92,26 @@ class cNMF:
             check_dir_exists(os.path.join(self.output_dir, self.name, "cnmf_tmp"))
             self.paths = build_paths(self.output_dir, self.name)
 
+    def _device_cached(self, attr: str, key_obj, build):
+        """Single-entry device-buffer cache keyed by a weakref to the host
+        object (a weakref can never alias a recycled id()). Release with
+        clear_device_caches()."""
+        import weakref
+
+        cached = getattr(self, attr, None)
+        if cached is not None and cached[0]() is key_obj:
+            return cached[1]
+        value = build()
+        setattr(self, attr, (weakref.ref(key_obj), value))
+        return value
+
+    def clear_device_caches(self):
+        """Drop cached device buffers (norm counts / TPM) and cached h5ad
+        objects — frees HBM between pipeline stages."""
+        for attr in ("_norm_counts_dev_cache", "_tpm_dev_cache", "_h5ad_cache"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
     def _read_h5ad_cached(self, path):
         """mtime-invalidated single-entry-per-path h5ad cache — a consensus
         sweep over many K values re-reads the same norm_counts / tpm files
@@ -341,6 +361,10 @@ class cNMF:
         # link-setup cost on some TPU runtimes; absorb it on 4 bytes here
         # rather than on the first spectra fetch
         float(jnp.zeros(()))
+
+        # consensus device buffers from a previous stage would compete with
+        # the solver for HBM — drop them first
+        self.clear_device_caches()
 
         # threaded native CSR->dense with fused dtype cast (cnmf_tpu.native)
         X = densify_csr(norm_counts.X, out_dtype=self.compute_dtype)
@@ -720,16 +744,10 @@ class cNMF:
         # stats path) the reconstruction error — and cached across the
         # k_selection_plot sweep, which passes the same preloaded object for
         # every K (reference cnmf.py:1124-1130)
-        import weakref
-
-        cached = getattr(self, "_norm_counts_dev_cache", None)
-        if cached is not None and cached[0]() is norm_counts:
-            norm_counts_dev = cached[1]
-        else:
-            norm_counts_dev = to_device(norm_counts.X)
-            # weakref key: a dead referent can never alias a new object (an
-            # id() key could, via CPython address reuse)
-            self._norm_counts_dev_cache = (weakref.ref(norm_counts), norm_counts_dev)
+        norm_counts_dev = self._device_cached(
+            "_norm_counts_dev_cache", norm_counts,
+            lambda: to_device(norm_counts.X),
+        )
         rf_usages = refit_usages(
             norm_counts_dev, median_spectra.values, nmf_kwargs,
             dtype=self.compute_dtype,
@@ -784,14 +802,9 @@ class cNMF:
             < getattr(self, "tpm_device_bytes_limit", 4e9)
         )
         if tpm_on_device:
-            import weakref as _weakref
-
-            tcache = getattr(self, "_tpm_dev_cache", None)
-            if tcache is not None and tcache[0]() is tpm:
-                tpm_src = tcache[1]
-            else:
-                tpm_src = to_device(tpm.X)
-                self._tpm_dev_cache = (_weakref.ref(tpm), tpm_src)
+            tpm_src = self._device_cached(
+                "_tpm_dev_cache", tpm, lambda: to_device(tpm.X)
+            )
         else:
             tpm_src = tpm.X
 

@@ -149,3 +149,56 @@ def test_harmony_deterministic():
     r2 = hm.run_harmony(Z, obs, ["batch"], max_iter_harmony=3, random_state=0)
     np.testing.assert_array_equal(r1.Z_corr, r2.Z_corr)
     np.testing.assert_array_equal(r1.R, r2.R)
+
+
+def test_citeseq_feature_type_col_split():
+    """Single AnnData with a feature-type column splits RNA/ADT
+    (reference preprocess.py:210-213)."""
+    adata = make_batched_adata(n_per_batch=60, n_genes=50)
+    rng = np.random.RandomState(2)
+    adt = rng.poisson(40.0, size=(adata.n_obs, 8)).astype(float)
+    X = sp.hstack([adata.X, sp.csr_matrix(adt)]).tocsr()
+    var = pd.DataFrame(
+        {"feature_types": ["Gene Expression"] * 50 + ["Antibody Capture"] * 8},
+        index=list(adata.var.index) + [f"ab{j}" for j in range(8)],
+    )
+    both = AnnData(X, obs=adata.obs.copy(), var=var)
+    pp = Preprocess(random_seed=0)
+    corrected, tp10k, hvgs = pp.preprocess_for_cnmf(
+        both, feature_type_col="feature_types", n_top_rna_genes=20,
+        makeplots=False,
+    )
+    assert corrected.shape[1] == 20
+    assert tp10k.shape[1] == 50 + 8
+    assert all(not h.startswith("ab") for h in hvgs)
+
+
+def test_exclude_genes_removed_from_hvgs_kept_in_tp10k():
+    adata = make_batched_adata(n_per_batch=60, n_genes=50)
+    pp = Preprocess(random_seed=0)
+    corrected, tp10k, hvgs = pp.preprocess_for_cnmf(
+        adata, n_top_rna_genes=20, exclude_genes=["g0", "g1", "g2"],
+        makeplots=False,
+    )
+    assert not ({"g0", "g1", "g2"} & set(hvgs))
+    assert {"g0", "g1", "g2"} <= set(tp10k.var.index)
+
+
+def test_stdscale_max_value_ceiling():
+    from cnmf_tpu.preprocess import stdscale_quantile_celing
+
+    rng = np.random.RandomState(0)
+    X = rng.gamma(2.0, 3.0, size=(80, 30))
+    adata = AnnData(sp.csr_matrix(X))
+    stdscale_quantile_celing(adata, max_value=1.5, quantile_thresh=None)
+    vals = adata.X.toarray() if sp.issparse(adata.X) else np.asarray(adata.X)
+    assert vals.max() <= 1.5 + 1e-9
+
+
+def test_normalize_librarysize_path():
+    adata = make_batched_adata(n_per_batch=60, n_genes=50)
+    pp = Preprocess(random_seed=0)
+    out, hvgs = pp.normalize_batchcorrect(
+        adata, normalize_librarysize=True, n_top_genes=15, makeplots=False,
+    )
+    assert out.shape[1] == 15 and len(hvgs) == 15

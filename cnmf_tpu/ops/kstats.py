@@ -1,0 +1,184 @@
+"""Fused K-selection stats: one device program per K.
+
+The reference's k_selection_plot re-runs the consensus stats path per K
+(reference cnmf.py:1119-1135 → 823-936): KMeans over the merged spectra,
+cluster-median consensus spectra, an NNLS usage refit, a silhouette score and
+a Frobenius prediction error. Run separately those are ~5 device dispatches
+and ~5 host↔device synchronization points per K; through a remote/relayed
+TPU each synchronization is a chance to queue behind other work.
+
+Here the whole chain after the host kmeans++ seeding is ONE jitted program
+(Lloyd iterations → best-init labels → per-cluster medians → row renorm →
+fixed-spectra NNLS → silhouette → row-chunked SSE) that returns two scalars.
+Shapes are bucketed exactly like the stand-alone kernels (points padded to
+512s, clusters to 8s) so a K=5..13 sweep reuses a handful of compiled
+programs, and the scalars are returned as device arrays so the sweep can
+dispatch every K before fetching any result.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnmf_tpu.ops.kmeans import _kmeans_plusplus, _lloyd_batched, _PAD_SENTINEL
+from cnmf_tpu.ops.nmf import (
+    nmf_coordinate_descent,
+    nmf_multiplicative_update,
+    reconstruction_sse,
+)
+from cnmf_tpu.ops.silhouette import _silhouette_padded
+
+
+def _cluster_medians(Xp: jax.Array, labels: jax.Array, valid: jax.Array,
+                     n_clusters: jax.Array, n_cluster_pad: int) -> jax.Array:
+    """Per-cluster column medians of the valid rows of ``Xp`` (pandas
+    ``groupby().median()`` semantics: mean of the two central order
+    statistics for even counts). Runs as a lax.map over cluster slots so only
+    one (Rp, D) sort buffer is live at a time. Empty / padded cluster slots
+    return all-zero rows."""
+
+    def one_cluster(c):
+        in_c = valid & (labels == c) & (c < n_clusters)
+        cnt = jnp.sum(in_c.astype(jnp.int32))
+        vals = jnp.where(in_c[:, None], Xp, jnp.inf)
+        svals = jnp.sort(vals, axis=0)
+        lo = jnp.maximum((cnt - 1) // 2, 0)
+        hi = jnp.maximum(cnt // 2, 0)
+        m = 0.5 * (
+            jax.lax.dynamic_index_in_dim(svals, lo, axis=0, keepdims=False)
+            + jax.lax.dynamic_index_in_dim(svals, hi, axis=0, keepdims=False)
+        )
+        return jnp.where(cnt > 0, m, jnp.zeros_like(m))
+
+    return jax.lax.map(one_cluster, jnp.arange(n_cluster_pad))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_cluster_pad", "lloyd_max_iter", "solver", "beta",
+        "refit_tol", "refit_max_iter", "l1_reg_W", "l2_reg_W",
+        "mu_chunk", "use_pallas",
+    ),
+)
+def _fused_k_stats(
+    Xnc: jax.Array,            # (N, G) normalized counts, device-resident
+    Xp: jax.Array,             # (Rp, G) zero-padded L2-normalized spectra
+    centers0: jax.Array,       # (n_init, Kp, G) sentinel-padded kmeans++ seeds
+    lloyd_tol: jax.Array,      # scalar, pre-scaled by mean feature variance
+    n_points: jax.Array,       # scalar int32: real spectra rows
+    n_clusters: jax.Array,     # scalar int32: real k
+    *,
+    n_cluster_pad: int,
+    lloyd_max_iter: int,
+    solver: str,
+    beta: float,
+    refit_tol: float,
+    refit_max_iter: int,
+    l1_reg_W: float,
+    l2_reg_W: float,
+    mu_chunk: int,
+    use_pallas: bool,
+):
+    Rp = Xp.shape[0]
+    labels_all, inertia, _ = _lloyd_batched(
+        Xp, centers0, lloyd_tol, n_points, n_clusters, lloyd_max_iter
+    )
+    best = jnp.argmin(inertia)
+    labels = labels_all[best]
+    valid = jnp.arange(Rp) < n_points
+
+    median = _cluster_medians(Xp, labels, valid, n_clusters, n_cluster_pad)
+    rowsum = jnp.sum(median, axis=1, keepdims=True)
+    median_n = jnp.where(
+        rowsum > 0, median / jnp.where(rowsum == 0, 1.0, rowsum), 0.0
+    )
+
+    # fixed-spectra NNLS usage refit (reference cnmf.py:918-920); padded
+    # cluster slots have all-zero spectra so their usage columns stay 0 and
+    # the SSE below is exactly the unpadded one
+    N = Xnc.shape[0]
+    Ht0 = jnp.transpose(median_n)[None].astype(Xnc.dtype)
+    if solver == "cd":
+        W0 = jnp.zeros((1, N, n_cluster_pad), Xnc.dtype)
+        W, _, _ = nmf_coordinate_descent(
+            Xnc, W0, Ht0, tol=refit_tol, max_iter=refit_max_iter,
+            update_H=False, l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
+        )
+    else:
+        avg = jnp.sqrt(jnp.mean(Xnc) / n_clusters.astype(Xnc.dtype))
+        W0 = jnp.full((1, N, n_cluster_pad), avg, Xnc.dtype)
+        W, _, _ = nmf_multiplicative_update(
+            Xnc, W0, Ht0, beta=beta, tol=refit_tol, max_iter=refit_max_iter,
+            update_H=False, l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
+            chunk=mu_chunk, use_pallas=use_pallas,
+        )
+
+    silhouette = _silhouette_padded(Xp, labels, n_points, n_cluster_pad)
+    sse = reconstruction_sse(Xnc, W[0], median_n.astype(Xnc.dtype))
+    return silhouette, sse
+
+
+def consensus_k_stats(
+    Xnc: jax.Array,
+    l2_spectra: np.ndarray,
+    k: int,
+    nmf_kwargs: dict,
+    *,
+    n_init: int = 10,
+    random_state: int = 1,
+    lloyd_max_iter: int = 300,
+    lloyd_tol: float = 1e-4,
+    pad_points_to: int = 512,
+    pad_clusters_to: int = 8,
+    use_pallas: bool = False,
+):
+    """Dispatch the fused stats program for one K; returns device scalars
+    ``(silhouette, prediction_error)`` — call ``float()`` on them to block.
+
+    Host side only runs the sklearn-style greedy kmeans++ seeding (same RNG
+    scheme as ops.kmeans.kmeans_fit, so labels match the stand-alone path).
+    """
+    from cnmf_tpu.pipeline.solvers import (  # local import: avoid cycle
+        beta_loss_to_float,
+        compute_regularization,
+    )
+
+    X = np.ascontiguousarray(l2_spectra)
+    R, D = X.shape
+    if R < k:
+        raise ValueError(f"n_samples={R} should be >= n_clusters={k}")
+    rng = np.random.RandomState(random_state)
+    centers0 = np.stack([_kmeans_plusplus(X, k, rng) for _ in range(n_init)])
+    scaled_tol = lloyd_tol * float(np.mean(np.var(X, axis=0)))
+
+    Rp = -(-R // pad_points_to) * pad_points_to
+    Kp = -(-k // pad_clusters_to) * pad_clusters_to
+    Xpad = np.zeros((Rp, D), dtype=X.dtype)
+    Xpad[:R] = X
+    c0 = np.full((n_init, Kp, D), _PAD_SENTINEL, dtype=X.dtype)
+    c0[:, :k] = centers0
+
+    solver = nmf_kwargs.get("solver", "cd")
+    beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+    l1_reg_W, _, l2_reg_W, _ = compute_regularization(
+        float(nmf_kwargs.get("alpha_W", 0.0)),
+        nmf_kwargs.get("alpha_H", "same"),
+        float(nmf_kwargs.get("l1_ratio", 0.0)),
+        Xnc.shape,
+    )
+    return _fused_k_stats(
+        Xnc, jnp.asarray(Xpad), jnp.asarray(c0),
+        jnp.asarray(scaled_tol, dtype=X.dtype),
+        jnp.asarray(R, jnp.int32), jnp.asarray(k, jnp.int32),
+        n_cluster_pad=Kp, lloyd_max_iter=lloyd_max_iter,
+        solver=solver, beta=beta,
+        refit_tol=float(nmf_kwargs.get("tol", 1e-4)),
+        refit_max_iter=int(nmf_kwargs.get("max_iter", 200)),
+        l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
+        mu_chunk=8, use_pallas=use_pallas,
+    )

@@ -44,16 +44,20 @@ from cnmf_tpu.native import densify_csr
 from cnmf_tpu.ops.distance import local_density_from_spectra, pairwise_euclidean
 from cnmf_tpu.ops.init import nndsvd_init, random_init_batch
 from cnmf_tpu.ops.kmeans import kmeans_fit
-from cnmf_tpu.ops.nmf import reconstruction_sse
 from cnmf_tpu.ops.normalize import normalize_total, scale_unit_variance
 from cnmf_tpu.ops.ols import efficient_ols_all_cols
-from cnmf_tpu.ops.silhouette import silhouette_score_padded
 from cnmf_tpu.ops.stats import get_highvar_genes, mean_var
 from cnmf_tpu.parallel.mesh import build_mesh, pad_to_multiple, shard_factorize_inputs
 from cnmf_tpu.pipeline.paths import build_paths
 from cnmf_tpu.pipeline.plots import clustergram, k_selection_figure
 from cnmf_tpu.utils.timing import timed
-from cnmf_tpu.pipeline.solvers import refit_usages, solve_nmf_batch
+from cnmf_tpu.ops.kstats import consensus_k_stats
+from cnmf_tpu.pipeline.solvers import (
+    beta_loss_to_float,
+    mu_pallas_eligible,
+    refit_usages,
+    solve_nmf_batch,
+)
 
 
 def worker_filter(iterable, worker_index, total_workers):
@@ -705,29 +709,40 @@ class cNMF:
         def to_device(Xm):
             return jnp.asarray(densify_csr(Xm, out_dtype=self.compute_dtype))
 
-        topics_dist = None
-        if not skip_density_and_return_after_stats:
-            if os.path.isfile(self.paths["local_density_cache"] % k):
-                local_density = load_df_from_npz(self.paths["local_density_cache"] % k)
-            else:
-                density = np.asarray(
-                    local_density_from_spectra(
-                        jnp.asarray(l2_spectra.values.astype(self.compute_dtype)),
-                        n_neighbors,
-                    )
-                ).astype(np.float64)
-                local_density = pd.DataFrame(
-                    density, columns=["local_density"], index=l2_spectra.index
-                )
-                save_df_to_npz(local_density, self.paths["local_density_cache"] % k)
+        if skip_density_and_return_after_stats:
+            # fused stats program: Lloyd → medians → NNLS → silhouette → SSE
+            # in ONE device dispatch (see ops/kstats.py); density filtering is
+            # skipped on this path (reference cnmf.py:922-936)
+            sil_dev, sse_dev = self._dispatch_k_stats(
+                k, l2_spectra.values, nmf_kwargs, norm_counts
+            )
+            return pd.DataFrame(
+                [k, density_threshold, float(sil_dev), float(sse_dev)],
+                index=["k", "local_density_threshold", "silhouette", "prediction_error"],
+                columns=["stats"],
+            )
 
-            density_filter = local_density.iloc[:, 0] < density_threshold
-            l2_spectra = l2_spectra.loc[density_filter, :]
-            if l2_spectra.shape[0] == 0:
-                raise RuntimeError(
-                    "Zero components remain after density filtering. "
-                    "Consider increasing density threshold"
+        if os.path.isfile(self.paths["local_density_cache"] % k):
+            local_density = load_df_from_npz(self.paths["local_density_cache"] % k)
+        else:
+            density = np.asarray(
+                local_density_from_spectra(
+                    jnp.asarray(l2_spectra.values.astype(self.compute_dtype)),
+                    n_neighbors,
                 )
+            ).astype(np.float64)
+            local_density = pd.DataFrame(
+                density, columns=["local_density"], index=l2_spectra.index
+            )
+            save_df_to_npz(local_density, self.paths["local_density_cache"] % k)
+
+        density_filter = local_density.iloc[:, 0] < density_threshold
+        l2_spectra = l2_spectra.loc[density_filter, :]
+        if l2_spectra.shape[0] == 0:
+            raise RuntimeError(
+                "Zero components remain after density filtering. "
+                "Consider increasing density threshold"
+            )
 
         # KMeans on device (10 restarts batched; reference cnmf.py:908-910)
         labels, _, _ = kmeans_fit(
@@ -738,12 +753,11 @@ class cNMF:
 
         # per-cluster median spectra, renormalized to row-sum 1
         median_spectra = l2_spectra.groupby(kmeans_cluster_labels).median()
-        median_spectra = (median_spectra.T / median_spectra.sum(1)).T
+        median_spectra = (median_spectra.T / median_spectra.sum(axis=1)).T
 
-        # one device copy of norm counts, shared by the refit and (in the
-        # stats path) the reconstruction error — and cached across the
-        # k_selection_plot sweep, which passes the same preloaded object for
-        # every K (reference cnmf.py:1124-1130)
+        # one device copy of norm counts, shared by the refits — and cached
+        # across repeated consensus calls on the same preloaded object
+        # (reference cnmf.py:1124-1130)
         norm_counts_dev = self._device_cached(
             "_norm_counts_dev_cache", norm_counts,
             lambda: to_device(norm_counts.X),
@@ -755,32 +769,6 @@ class cNMF:
         rf_usages = pd.DataFrame(
             rf_usages, index=norm_counts.obs.index, columns=median_spectra.index,
         )
-
-        if skip_density_and_return_after_stats:
-            # shape-bucketed silhouette: the K-selection sweep reuses one
-            # compiled program per (R-bucket, K-bucket)
-            silhouette = silhouette_score_padded(
-                l2_spectra.values.astype(self.compute_dtype), labels, int(k)
-            )
-            # zero-pad K to a bucket of 8 so the 9-K selection sweep shares
-            # one compiled SSE program (padded components contribute 0 exactly)
-            W_err = rf_usages.values.astype(self.compute_dtype)
-            S_err = median_spectra.values.astype(self.compute_dtype)
-            pad = (-W_err.shape[1]) % 8
-            if pad:
-                W_err = np.pad(W_err, ((0, 0), (0, pad)))
-                S_err = np.pad(S_err, ((0, pad), (0, 0)))
-            prediction_error = float(
-                reconstruction_sse(
-                    norm_counts_dev, jnp.asarray(W_err), jnp.asarray(S_err)
-                )
-            )
-            consensus_stats = pd.DataFrame(
-                [k, density_threshold, silhouette, prediction_error],
-                index=["k", "local_density_threshold", "silhouette", "prediction_error"],
-                columns=["stats"],
-            )
-            return consensus_stats
 
         # Re-order usage by total contribution (reference cnmf.py:938-946)
         norm_usages = rf_usages.div(rf_usages.sum(axis=1), axis=0)
@@ -966,22 +954,55 @@ class cNMF:
     # k selection
     # ==================================================================
 
+    def _dispatch_k_stats(self, k, l2_values, nmf_kwargs, norm_counts):
+        """Dispatch the fused K-stats device program (ops/kstats.py) for one
+        K; returns unsynchronized device scalars (silhouette, sse) so a
+        K sweep can enqueue every program before fetching any result."""
+        norm_counts_dev = self._device_cached(
+            "_norm_counts_dev_cache", norm_counts,
+            lambda: jnp.asarray(
+                densify_csr(norm_counts.X, out_dtype=self.compute_dtype)
+            ),
+        )
+        beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+        return consensus_k_stats(
+            norm_counts_dev,
+            np.ascontiguousarray(l2_values, dtype=self.compute_dtype),
+            int(k), nmf_kwargs,
+            use_pallas=mu_pallas_eligible(beta, self.compute_dtype),
+        )
+
     @timed("k_selection_plot")
     def k_selection_plot(self, close_fig=False):
         """Stability (silhouette) vs reconstruction-error K sweep
-        (reference cnmf.py:1119-1158; Alexandrov et al. 2013)."""
+        (reference cnmf.py:1119-1158; Alexandrov et al. 2013).
+
+        All per-K fused stats programs are dispatched before any result is
+        fetched — JAX's async dispatch overlaps the device queue with the
+        host-side spectra loading/seeding of subsequent Ks."""
         run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
-        stats = []
         norm_counts = read_h5ad(self.paths["normalized_counts"])
+        nmf_kwargs = yaml.load(
+            open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
+        )
+        pending = []
         for k in sorted(set(run_params.n_components)):
-            stats.append(
-                self.consensus(
-                    k, skip_density_and_return_after_stats=True,
-                    show_clustering=False, close_clustergram_fig=True,
-                    norm_counts=norm_counts,
-                ).stats
+            merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
+            norms = np.sqrt((merged_spectra.values ** 2).sum(axis=1))
+            sil_dev, sse_dev = self._dispatch_k_stats(
+                k, merged_spectra.values / norms[:, None], nmf_kwargs, norm_counts
             )
-        stats = pd.DataFrame(stats)
+            pending.append((int(k), sil_dev, sse_dev))
+        stats = pd.DataFrame(
+            [
+                pd.Series(
+                    [k, 0.5, float(sil), float(sse)],
+                    index=["k", "local_density_threshold",
+                           "silhouette", "prediction_error"],
+                )
+                for k, sil, sse in pending
+            ]
+        )
         stats.reset_index(drop=True, inplace=True)
         save_df_to_npz(stats, self.paths["k_selection_stats"])
         k_selection_figure(stats, self.paths["k_selection_plot"], close_fig=close_fig)

@@ -46,6 +46,17 @@ def compute_regularization(
     return float(l1_reg_W), float(l1_reg_H), float(l2_reg_W), float(l2_reg_H)
 
 
+def mu_pallas_eligible(beta: float, dtype) -> bool:
+    """Whether the fused Pallas MU kernels apply (TPU backend, f32, beta≠2,
+    not opted out) — the same gate solve_nmf_batch uses."""
+    return (
+        beta != 2.0
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and os.environ.get("CNMF_TPU_PALLAS", "1") == "1"
+    )
+
+
 def solve_nmf_batch(
     X: jax.Array,
     W0: jax.Array,
@@ -91,13 +102,7 @@ def solve_nmf_batch(
     # beta != 2 losses on TPU (the XLA path materializes it in HBM chunk by
     # chunk). Disabled under the sharded mesh path — pallas_call has no GSPMD
     # partitioning rule.
-    use_pallas = (
-        allow_pallas
-        and beta != 2.0
-        and jax.default_backend() == "tpu"
-        and jnp.asarray(W0).dtype == jnp.float32
-        and os.environ.get("CNMF_TPU_PALLAS", "1") == "1"
-    )
+    use_pallas = allow_pallas and mu_pallas_eligible(beta, jnp.asarray(W0).dtype)
     return nmf_multiplicative_update(
         X, W0, Ht0, beta=beta, tol=tol, max_iter=max_iter, update_H=update_H,
         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,

@@ -211,3 +211,53 @@ def test_silhouette_padded_matches_sklearn():
     ours = silhouette_score_padded(X, labels, 6)
     ref = sk_sil(X, labels, metric="euclidean")
     assert abs(ours - ref) < 1e-9
+
+
+def test_fused_k_stats_matches_unfused():
+    """The single-dispatch K-stats program (ops/kstats.py) must reproduce the
+    step-by-step path exactly: same kmeans labels/medians (pandas groupby
+    median semantics), same NNLS refit, same silhouette and SSE."""
+    import pandas as pd
+    from cnmf_tpu.ops.kmeans import kmeans_fit
+    from cnmf_tpu.ops.kstats import consensus_k_stats
+    from cnmf_tpu.ops.nmf import reconstruction_sse
+    from cnmf_tpu.ops.silhouette import silhouette_score_padded
+    from cnmf_tpu.pipeline.solvers import refit_usages
+
+    rng = np.random.RandomState(11)
+    Xnc = rng.rand(60, 40)
+    k = 4
+    spectra = rng.rand(31, 40)  # odd row count: exercises exact-median branch
+    l2 = spectra / np.linalg.norm(spectra, axis=1, keepdims=True)
+    kwargs = {"solver": "cd", "beta_loss": "frobenius", "tol": 1e-4,
+              "max_iter": 400, "alpha_W": 0.0, "alpha_H": "same",
+              "l1_ratio": 0.0}
+
+    sil_f, sse_f = consensus_k_stats(jnp.asarray(Xnc), l2, k, kwargs)
+
+    labels, _, _ = kmeans_fit(l2, n_clusters=k, n_init=10, random_state=1)
+    med = pd.DataFrame(l2).groupby(pd.Series(labels)).median()
+    med = (med.T / med.sum(axis=1)).T
+    usages = refit_usages(Xnc, med.values, kwargs, dtype=np.float64)
+    sil_u = silhouette_score_padded(l2, labels, k)
+    sse_u = float(reconstruction_sse(
+        jnp.asarray(Xnc), jnp.asarray(usages), jnp.asarray(med.values)
+    ))
+    assert abs(float(sil_f) - sil_u) < 1e-10
+    assert abs(float(sse_f) - sse_u) / sse_u < 1e-10
+
+
+def test_fused_k_stats_mu_solver():
+    """Fused stats with the MU/KL solver path stays finite and positive."""
+    from cnmf_tpu.ops.kstats import consensus_k_stats
+
+    rng = np.random.RandomState(3)
+    Xnc = rng.rand(40, 30) + 0.01
+    spectra = rng.rand(20, 30) + 0.01
+    l2 = spectra / np.linalg.norm(spectra, axis=1, keepdims=True)
+    kwargs = {"solver": "mu", "beta_loss": "kullback-leibler", "tol": 1e-4,
+              "max_iter": 100, "alpha_W": 0.0, "alpha_H": "same",
+              "l1_ratio": 0.0}
+    sil, sse = consensus_k_stats(jnp.asarray(Xnc), l2, 3, kwargs)
+    assert np.isfinite(float(sil))
+    assert float(sse) > 0

@@ -187,3 +187,34 @@ def test_clustergram_png_nontrivial(run):
                   close_clustergram_fig=True)
     png = run.paths["clustering_plot"] % (5, "1_8")
     assert os.path.exists(png) and os.path.getsize(png) > 10_000
+
+
+def test_k_selection_stats_schema(run):
+    """k_selection_plot writes the reference-shaped stats table (one row per
+    K with k / local_density_threshold / silhouette / prediction_error,
+    reference cnmf.py:1124-1135) and the PNG."""
+    stats = run.k_selection_plot(close_fig=True)
+    assert list(stats.columns) == [
+        "k", "local_density_threshold", "silhouette", "prediction_error"
+    ]
+    assert list(stats.k.astype(int)) == [5]
+    assert np.isfinite(stats.silhouette).all()
+    assert (stats.prediction_error > 0).all()
+    assert os.path.exists(run.paths["k_selection_plot"])
+    saved = load_df_from_npz(run.paths["k_selection_stats"])
+    np.testing.assert_allclose(
+        saved.values.astype(float), stats.values.astype(float)
+    )
+
+
+def test_consensus_stats_agree_with_k_selection(run):
+    """The consensus(skip_density...) early-return and k_selection_plot rows
+    go through the same fused program and must agree exactly."""
+    stats_row = run.consensus(k=5, skip_density_and_return_after_stats=True,
+                              show_clustering=False)
+    table = run.k_selection_plot(close_fig=True)
+    assert abs(float(stats_row.loc["silhouette"].iloc[0])
+               - float(table.silhouette.iloc[0])) < 1e-12
+    assert abs(float(stats_row.loc["prediction_error"].iloc[0])
+               - float(table.prediction_error.iloc[0])) < 1e-9 * float(
+                   table.prediction_error.iloc[0])

@@ -57,7 +57,9 @@ def main():
     import jax
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persist even sub-second compiles: a consensus pass runs ~20 small
+    # programs that would otherwise recompile in every fresh process
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import pandas as pd
 

@@ -116,6 +116,40 @@ class cNMF:
             if hasattr(self, attr):
                 delattr(self, attr)
 
+    # in-process artifact memo: stages still WRITE every §2.9 file (the
+    # on-disk contract is the reference's restart/elasticity story), but a
+    # same-process downstream stage can skip re-READING what this object just
+    # wrote. Entries are validated by file mtime so out-of-band edits or
+    # other workers' files always win.
+    _ARTIFACT_MEMO_BYTES = int(5e8)
+
+    def _memo_artifact(self, path, obj, nbytes):
+        memo = getattr(self, "_artifact_memo", None)
+        if memo is None:
+            memo = self._artifact_memo = {}
+            self._artifact_memo_bytes = 0
+        if self._artifact_memo_bytes + nbytes > self._ARTIFACT_MEMO_BYTES:
+            return
+        try:
+            memo[path] = (os.path.getmtime(path), obj)
+            self._artifact_memo_bytes += nbytes
+        except OSError:
+            pass
+
+    def _recall_artifact(self, path):
+        memo = getattr(self, "_artifact_memo", None)
+        if not memo or path not in memo:
+            return None
+        mtime, obj = memo[path]
+        try:
+            if os.path.getmtime(path) != mtime:
+                del memo[path]
+                return None
+        except OSError:
+            del memo[path]
+            return None
+        return obj
+
     def _read_h5ad_cached(self, path):
         """mtime-invalidated single-entry-per-path h5ad cache — a consensus
         sweep over many K values re-reads the same norm_counts / tpm files
@@ -344,7 +378,10 @@ class cNMF:
         same per-(K, iter) npz files.
         """
         run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
-        norm_counts = read_h5ad(self.paths["normalized_counts"])
+        # consensus device buffers from a previous stage would compete with
+        # the solver for HBM — drop them before (re)filling the h5ad cache
+        self.clear_device_caches()
+        norm_counts = self._read_h5ad_cached(self.paths["normalized_counts"])
         _nmf_kwargs = yaml.load(
             open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
         )
@@ -366,14 +403,15 @@ class cNMF:
         # rather than on the first spectra fetch
         float(jnp.zeros(()))
 
-        # consensus device buffers from a previous stage would compete with
-        # the solver for HBM — drop them first
-        self.clear_device_caches()
-
         # threaded native CSR->dense with fused dtype cast (cnmf_tpu.native)
         X = densify_csr(norm_counts.X, out_dtype=self.compute_dtype)
         X = np.ascontiguousarray(X)
         Xd = jnp.asarray(X)
+        # seed the consensus-stage cache: a same-process consensus /
+        # k_selection sweep reuses this device buffer instead of paying the
+        # densify + upload again (skipped at atlas scale to not pin HBM)
+        if X.nbytes < 2e9:
+            self._device_cached("_norm_counts_dev_cache", norm_counts, lambda: Xd)
 
         gene_index = norm_counts.var.index
         sub = run_params.iloc[jobs]
@@ -415,7 +453,9 @@ class cNMF:
                         index=np.arange(1, k + 1),
                         columns=gene_index,
                     )
-                    save_df_to_npz(spectra, self.paths["iter_spectra"] % (k, it))
+                    path = self.paths["iter_spectra"] % (k, it)
+                    save_df_to_npz(spectra, path)
+                    self._memo_artifact(path, spectra, spectra.values.nbytes)
 
                 list(pool.map(write_one, enumerate(iters)))
 
@@ -615,8 +655,12 @@ class cNMF:
             print("No spectra found for k=%d" % k)
             return []
 
+        def read_one(f):
+            hit = self._recall_artifact(f[1])
+            return hit if hit is not None else load_df_from_npz(f[1])
+
         with ThreadPoolExecutor(max_workers=8) as pool:
-            frames = list(pool.map(lambda f: load_df_from_npz(f[1]), files))
+            frames = list(pool.map(read_one, files))
         values = np.concatenate([f.values for f in frames], axis=0)
         index = [
             "iter%d_topic%d" % (it, t + 1) for (it, _) in files for t in range(k)
@@ -624,7 +668,9 @@ class cNMF:
         combined_spectra = pd.DataFrame(
             values, index=index, columns=frames[0].columns
         )
-        save_df_to_npz(combined_spectra, self.paths["merged_spectra"] % k)
+        merged_path = self.paths["merged_spectra"] % k
+        save_df_to_npz(combined_spectra, merged_path)
+        self._memo_artifact(merged_path, combined_spectra, values.nbytes)
         if remove_individual_iterations:
             # the reference accepts this kwarg without acting on it
             # (cnmf.py:748); here it actually deletes the per-iteration files
@@ -685,7 +731,9 @@ class cNMF:
         """Consensus spectra/usages via density filtering + KMeans + medians
         (reference cnmf.py:823-1082), with the distance matrix, KNN density,
         KMeans, silhouette, NNLS refits and z-score OLS on device."""
-        merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
+        merged_spectra = self._recall_artifact(self.paths["merged_spectra"] % k)
+        if merged_spectra is None:
+            merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
         if norm_counts is None:
             norm_counts = self._read_h5ad_cached(self.paths["normalized_counts"])
 
@@ -987,7 +1035,9 @@ class cNMF:
         )
         pending = []
         for k in sorted(set(run_params.n_components)):
-            merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
+            merged_spectra = self._recall_artifact(self.paths["merged_spectra"] % k)
+            if merged_spectra is None:
+                merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
             norms = np.sqrt((merged_spectra.values ** 2).sum(axis=1))
             sil_dev, sse_dev = self._dispatch_k_stats(
                 k, merged_spectra.values / norms[:, None], nmf_kwargs, norm_counts

@@ -218,3 +218,41 @@ def test_consensus_stats_agree_with_k_selection(run):
     assert abs(float(stats_row.loc["prediction_error"].iloc[0])
                - float(table.prediction_error.iloc[0])) < 1e-9 * float(
                    table.prediction_error.iloc[0])
+
+
+def test_artifact_memo_matches_disk_and_invalidates(tmp_path):
+    """Same-process stages may reuse just-written artifacts from memory; the
+    memo must mirror the disk bytes exactly and yield to out-of-band writes
+    (mtime validation), so multi-worker/file semantics are unchanged."""
+    from cnmf_tpu.io.dataframe import save_df_to_npz
+
+    rng = np.random.RandomState(5)
+    X = rng.poisson(rng.gamma(0.7, 1.0, size=(80, 4)) @
+                    (rng.gamma(0.5, 1.0, size=(4, 120)) *
+                     (rng.rand(4, 120) < 0.4)) * 2.0).astype(float)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(X, index=[f"c{i}" for i in range(80)],
+                      columns=[f"g{j}" for j in range(120)])
+    fn = str(tmp_path / "counts.txt")
+    df.to_csv(fn, sep="\t")
+    obj = cNMF(output_dir=str(tmp_path), name="memo")
+    obj.prepare(counts_fn=fn, components=[4], n_iter=4, seed=3,
+                num_highvar_genes=80)
+    obj.factorize(verbose=False)
+    obj.combine()
+
+    p = obj.paths["merged_spectra"] % 4
+    hit = obj._recall_artifact(p)
+    assert hit is not None
+    disk = load_df_from_npz(p)
+    assert list(hit.index) == list(disk.index)
+    np.testing.assert_array_equal(hit.values, disk.values)
+
+    # out-of-band rewrite (e.g. another worker) must invalidate the memo
+    save_df_to_npz(disk * 2.0, p)
+    os.utime(p, (os.path.getmtime(p) + 5, os.path.getmtime(p) + 5))
+    assert obj._recall_artifact(p) is None
+
+    # a fresh object has no memo at all
+    obj2 = cNMF(output_dir=str(tmp_path), name="memo")
+    assert obj2._recall_artifact(p) is None

@@ -127,8 +127,13 @@ def consensus_k_stats(
     Xnc: jax.Array,
     l2_spectra: np.ndarray,
     k: int,
-    nmf_kwargs: dict,
     *,
+    solver: str = "cd",
+    beta: float = 2.0,
+    refit_tol: float = 1e-4,
+    refit_max_iter: int = 200,
+    l1_reg_W: float = 0.0,
+    l2_reg_W: float = 0.0,
     n_init: int = 10,
     random_state: int = 1,
     lloyd_max_iter: int = 300,
@@ -140,14 +145,11 @@ def consensus_k_stats(
     """Dispatch the fused stats program for one K; returns device scalars
     ``(silhouette, prediction_error)`` — call ``float()`` on them to block.
 
-    Host side only runs the sklearn-style greedy kmeans++ seeding (same RNG
-    scheme as ops.kmeans.kmeans_fit, so labels match the stand-alone path).
+    Solver config arrives as plain scalars (the pipeline layer translates
+    sklearn-style kwargs dicts — see cNMF._dispatch_k_stats). Host side only
+    runs the sklearn-style greedy kmeans++ seeding (same RNG scheme as
+    ops.kmeans.kmeans_fit, so labels match the stand-alone path).
     """
-    from cnmf_tpu.pipeline.solvers import (  # local import: avoid cycle
-        beta_loss_to_float,
-        compute_regularization,
-    )
-
     X = np.ascontiguousarray(l2_spectra)
     R, D = X.shape
     if R < k:
@@ -163,22 +165,14 @@ def consensus_k_stats(
     c0 = np.full((n_init, Kp, D), _PAD_SENTINEL, dtype=X.dtype)
     c0[:, :k] = centers0
 
-    solver = nmf_kwargs.get("solver", "cd")
-    beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
-    l1_reg_W, _, l2_reg_W, _ = compute_regularization(
-        float(nmf_kwargs.get("alpha_W", 0.0)),
-        nmf_kwargs.get("alpha_H", "same"),
-        float(nmf_kwargs.get("l1_ratio", 0.0)),
-        Xnc.shape,
-    )
     return _fused_k_stats(
         Xnc, jnp.asarray(Xpad), jnp.asarray(c0),
         jnp.asarray(scaled_tol, dtype=X.dtype),
         jnp.asarray(R, jnp.int32), jnp.asarray(k, jnp.int32),
         n_cluster_pad=Kp, lloyd_max_iter=lloyd_max_iter,
-        solver=solver, beta=beta,
-        refit_tol=float(nmf_kwargs.get("tol", 1e-4)),
-        refit_max_iter=int(nmf_kwargs.get("max_iter", 200)),
-        l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
+        solver=solver, beta=float(beta),
+        refit_tol=float(refit_tol),
+        refit_max_iter=int(refit_max_iter),
+        l1_reg_W=float(l1_reg_W), l2_reg_W=float(l2_reg_W),
         mu_chunk=8, use_pallas=use_pallas,
     )

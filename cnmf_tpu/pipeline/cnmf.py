@@ -54,10 +54,27 @@ from cnmf_tpu.utils.timing import timed
 from cnmf_tpu.ops.kstats import consensus_k_stats
 from cnmf_tpu.pipeline.solvers import (
     beta_loss_to_float,
+    compute_regularization,
     mu_pallas_eligible,
     refit_usages,
     solve_nmf_batch,
 )
+
+
+import threading
+
+# guards every instance's artifact memo (class-wide: negligible contention,
+# and instances stay picklable for the multiprocessing shim)
+_MEMO_LOCK = threading.Lock()
+
+# the consensus/k_selection default density threshold (reference cnmf.py:823,
+# 1127-1130) — shared so the sweep's stats rows can't drift from the
+# consensus signature
+DEFAULT_DENSITY_THRESHOLD = 0.5
+
+# row schema of the consensus stats / k_selection table (reference
+# cnmf.py:932-934)
+K_STATS_FIELDS = ["k", "local_density_threshold", "silhouette", "prediction_error"]
 
 
 def worker_filter(iterable, worker_index, total_workers):
@@ -119,36 +136,44 @@ class cNMF:
     # in-process artifact memo: stages still WRITE every §2.9 file (the
     # on-disk contract is the reference's restart/elasticity story), but a
     # same-process downstream stage can skip re-READING what this object just
-    # wrote. Entries are validated by file mtime so out-of-band edits or
-    # other workers' files always win.
+    # wrote. Entries are validated by nanosecond mtime + size so out-of-band
+    # edits or other workers' files always win; recall returns a copy so a
+    # caller mutating a returned frame can never corrupt later stages.
     _ARTIFACT_MEMO_BYTES = int(5e8)
 
     def _memo_artifact(self, path, obj, nbytes):
-        memo = getattr(self, "_artifact_memo", None)
-        if memo is None:
-            memo = self._artifact_memo = {}
-            self._artifact_memo_bytes = 0
-        if self._artifact_memo_bytes + nbytes > self._ARTIFACT_MEMO_BYTES:
-            return
         try:
-            memo[path] = (os.path.getmtime(path), obj)
-            self._artifact_memo_bytes += nbytes
+            st = os.stat(path)
         except OSError:
-            pass
+            return
+        with _MEMO_LOCK:
+            memo = getattr(self, "_artifact_memo", None)
+            if memo is None:
+                memo = self._artifact_memo = {}
+                self._artifact_memo_bytes = 0
+            prev = memo.get(path)
+            used = self._artifact_memo_bytes - (prev[3] if prev else 0)
+            if used + nbytes > self._ARTIFACT_MEMO_BYTES:
+                return
+            memo[path] = (st.st_mtime_ns, st.st_size, obj, nbytes)
+            self._artifact_memo_bytes = used + nbytes
 
     def _recall_artifact(self, path):
-        memo = getattr(self, "_artifact_memo", None)
-        if not memo or path not in memo:
-            return None
-        mtime, obj = memo[path]
-        try:
-            if os.path.getmtime(path) != mtime:
-                del memo[path]
+        with _MEMO_LOCK:
+            memo = getattr(self, "_artifact_memo", None)
+            if not memo or path not in memo:
                 return None
-        except OSError:
-            del memo[path]
-            return None
-        return obj
+            mtime_ns, size, obj, nbytes = memo[path]
+            try:
+                st = os.stat(path)
+                stale = st.st_mtime_ns != mtime_ns or st.st_size != size
+            except OSError:
+                stale = True
+            if stale:
+                del memo[path]
+                self._artifact_memo_bytes -= nbytes
+                return None
+        return obj.copy()
 
     def _read_h5ad_cached(self, path):
         """mtime-invalidated single-entry-per-path h5ad cache — a consensus
@@ -718,7 +743,7 @@ class cNMF:
     def consensus(
         self,
         k,
-        density_threshold=0.5,
+        density_threshold=DEFAULT_DENSITY_THRESHOLD,
         local_neighborhood_size=0.30,
         show_clustering=True,
         build_ref=True,
@@ -766,8 +791,7 @@ class cNMF:
             )
             return pd.DataFrame(
                 [k, density_threshold, float(sil_dev), float(sse_dev)],
-                index=["k", "local_density_threshold", "silhouette", "prediction_error"],
-                columns=["stats"],
+                index=K_STATS_FIELDS, columns=["stats"],
             )
 
         if os.path.isfile(self.paths["local_density_cache"] % k):
@@ -974,7 +998,8 @@ class cNMF:
     # starCAT reference
     # ==================================================================
 
-    def build_reference(self, k, density_threshold=0.5, target_sum=1e6):
+    def build_reference(self, k, density_threshold=DEFAULT_DENSITY_THRESHOLD,
+                        target_sum=1e6):
         """starCAT reference GEPs: txt-round-tripped TPM spectra, renormalized
         to target_sum, var-normalized, HVG-subset (reference cnmf.py:1085-1116)."""
         density_threshold_repl = str(density_threshold).replace(".", "_")
@@ -1013,10 +1038,20 @@ class cNMF:
             ),
         )
         beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+        l1_reg_W, _, l2_reg_W, _ = compute_regularization(
+            float(nmf_kwargs.get("alpha_W", 0.0)),
+            nmf_kwargs.get("alpha_H", "same"),
+            float(nmf_kwargs.get("l1_ratio", 0.0)),
+            norm_counts_dev.shape,
+        )
         return consensus_k_stats(
             norm_counts_dev,
             np.ascontiguousarray(l2_values, dtype=self.compute_dtype),
-            int(k), nmf_kwargs,
+            int(k),
+            solver=nmf_kwargs.get("solver", "cd"), beta=beta,
+            refit_tol=float(nmf_kwargs.get("tol", 1e-4)),
+            refit_max_iter=int(nmf_kwargs.get("max_iter", 200)),
+            l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
             use_pallas=mu_pallas_eligible(beta, self.compute_dtype),
         )
 
@@ -1029,7 +1064,7 @@ class cNMF:
         fetched — JAX's async dispatch overlaps the device queue with the
         host-side spectra loading/seeding of subsequent Ks."""
         run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
-        norm_counts = read_h5ad(self.paths["normalized_counts"])
+        norm_counts = self._read_h5ad_cached(self.paths["normalized_counts"])
         nmf_kwargs = yaml.load(
             open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
         )
@@ -1046,9 +1081,8 @@ class cNMF:
         stats = pd.DataFrame(
             [
                 pd.Series(
-                    [k, 0.5, float(sil), float(sse)],
-                    index=["k", "local_density_threshold",
-                           "silhouette", "prediction_error"],
+                    [k, DEFAULT_DENSITY_THRESHOLD, float(sil), float(sse)],
+                    index=K_STATS_FIELDS,
                 )
                 for k, sil, sse in pending
             ]

@@ -233,7 +233,9 @@ def test_fused_k_stats_matches_unfused():
               "max_iter": 400, "alpha_W": 0.0, "alpha_H": "same",
               "l1_ratio": 0.0}
 
-    sil_f, sse_f = consensus_k_stats(jnp.asarray(Xnc), l2, k, kwargs)
+    sil_f, sse_f = consensus_k_stats(jnp.asarray(Xnc), l2, k,
+                                     solver="cd", beta=2.0,
+                                     refit_tol=1e-4, refit_max_iter=400)
 
     labels, _, _ = kmeans_fit(l2, n_clusters=k, n_init=10, random_state=1)
     med = pd.DataFrame(l2).groupby(pd.Series(labels)).median()
@@ -255,9 +257,8 @@ def test_fused_k_stats_mu_solver():
     Xnc = rng.rand(40, 30) + 0.01
     spectra = rng.rand(20, 30) + 0.01
     l2 = spectra / np.linalg.norm(spectra, axis=1, keepdims=True)
-    kwargs = {"solver": "mu", "beta_loss": "kullback-leibler", "tol": 1e-4,
-              "max_iter": 100, "alpha_W": 0.0, "alpha_H": "same",
-              "l1_ratio": 0.0}
-    sil, sse = consensus_k_stats(jnp.asarray(Xnc), l2, 3, kwargs)
+    sil, sse = consensus_k_stats(jnp.asarray(Xnc), l2, 3,
+                                 solver="mu", beta=1.0,
+                                 refit_tol=1e-4, refit_max_iter=100)
     assert np.isfinite(float(sil))
     assert float(sse) > 0

@@ -55,9 +55,18 @@ def efficient_ols_all_cols(
         if isinstance(Y, jax.Array):
             # two-pass variance: E[(Y-mean)²] — the one-pass E[Y²]-mean² form
             # catastrophically cancels in f32 for high-mean/low-variance TPM
-            # columns (measured ~36% beta error on mean≈1e3, std≈1 genes)
-            mean_d = jnp.mean(Y, axis=0)
-            var_d = jnp.mean(jnp.square(Y - mean_d[None, :]), axis=0)
+            # columns (measured ~36% beta error on mean≈1e3, std≈1 genes).
+            # Column-chunked so the centered intermediate stays ≤ ~800 MB —
+            # at atlas scale Y itself already fills half of HBM
+            gchunk = max(1, int(2e8 // max(Y.shape[0], 1)))
+            means, vars = [], []
+            for s in range(0, Y.shape[1], gchunk):
+                Ys = Y[:, s:s + gchunk]
+                m = jnp.mean(Ys, axis=0)
+                means.append(m)
+                vars.append(jnp.mean(jnp.square(Ys - m[None, :]), axis=0))
+            mean_d = jnp.concatenate(means)
+            var_d = jnp.concatenate(vars)
             mean_y = np.asarray(mean_d, dtype=np.float64)
             var_y = np.asarray(var_d, dtype=np.float64)
         else:

@@ -175,6 +175,36 @@ class cNMF:
                 return None
         return obj.copy()
 
+    # HBM per chip by device-kind substring; used to size the "keep the
+    # full-gene TPM resident on device" threshold when the runtime doesn't
+    # expose memory stats (the axon relay returns None)
+    _HBM_BY_KIND = (
+        ("v5 lite", 16e9), ("v5e", 16e9), ("v5p", 95e9),
+        ("v6 lite", 32e9), ("v6e", 32e9), ("v4", 32e9), ("v3", 16e9),
+    )
+
+    def _tpm_device_limit(self):
+        """Byte threshold under which the full-gene TPM matrix stays
+        device-resident for the consensus refits/OLS (above it, the chunked
+        host fallback runs). Override with ``self.tpm_device_bytes_limit``."""
+        override = getattr(self, "tpm_device_bytes_limit", None)
+        if override is not None:
+            return override
+        try:
+            dev = jax.devices()[0]
+            if dev.platform == "tpu":
+                stats = dev.memory_stats() or {}
+                limit = stats.get("bytes_limit")
+                if limit:
+                    return 0.6 * limit
+                kind = dev.device_kind.lower()
+                for key, hbm in self._HBM_BY_KIND:
+                    if key in kind:
+                        return 0.6 * hbm
+        except Exception:
+            pass
+        return 4e9
+
     def _read_h5ad_cached(self, path):
         """mtime-invalidated single-entry-per-path h5ad cache — a consensus
         sweep over many K values re-reads the same norm_counts / tpm files
@@ -858,8 +888,7 @@ class cNMF:
         tpm = self._read_h5ad_cached(self.paths["tpm"])
         tpm_stats = load_df_from_npz(self.paths["tpm_stats"])
         tpm_on_device = (
-            tpm.X.shape[0] * tpm.X.shape[1] * 4
-            < getattr(self, "tpm_device_bytes_limit", 4e9)
+            tpm.X.shape[0] * tpm.X.shape[1] * 4 < self._tpm_device_limit()
         )
         if tpm_on_device:
             tpm_src = self._device_cached(

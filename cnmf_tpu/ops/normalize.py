@@ -20,8 +20,20 @@ def normalize_total(X, target_sum: float = 1e6):
             target_sum, totals, out=np.zeros_like(totals, dtype=np.float64),
             where=totals != 0,
         )
-        D = sp.diags(scale)
-        return (D @ X).tocsr()
+        # scale CSR rows in place on a copy — a diag @ X spgemm walks the
+        # general matmat path and is ~100x slower at 1e8 nnz
+        out = X.tocsr().astype(np.float64)
+        if out is X:
+            out = out.copy()
+        try:
+            from scipy.sparse import _sparsetools
+            _sparsetools.csr_scale_rows(
+                out.shape[0], out.shape[1], out.indptr, out.indices,
+                out.data, scale,
+            )
+        except (ImportError, AttributeError):
+            out.data *= np.repeat(scale, np.diff(out.indptr))
+        return out
     X = np.asarray(X, dtype=np.float64)
     totals = X.sum(axis=1, keepdims=True)
     safe = np.where(totals == 0, 1.0, totals)
@@ -45,9 +57,22 @@ def scale_unit_variance(X, ddof: int = 1, zero_safe: bool = True):
         std = np.sqrt(var)
         if zero_safe:
             std[std == 0] = 1.0
-        D = sp.diags(np.divide(1.0, std, out=np.zeros_like(std), where=std != 0)
-                     if not zero_safe else 1.0 / std)
-        return (X @ D).tocsr()
+        inv = (np.divide(1.0, std, out=np.zeros_like(std), where=std != 0)
+               if not zero_safe else 1.0 / std)
+        # scale CSR columns in place on a copy (see normalize_total: the
+        # X @ diag spgemm is the slow general path)
+        out = X.tocsr().astype(np.result_type(X.dtype, inv.dtype))
+        if out is X:
+            out = out.copy()
+        try:
+            from scipy.sparse import _sparsetools
+            _sparsetools.csr_scale_columns(
+                out.shape[0], out.shape[1], out.indptr, out.indices,
+                out.data, inv,
+            )
+        except (ImportError, AttributeError):
+            out.data *= inv[out.indices]
+        return out
     X = np.asarray(X)
     std = X.std(axis=0, ddof=ddof)
     if zero_safe:

@@ -6,9 +6,31 @@ k_selection_plot}`` with the same 19 flags and defaults.
 from __future__ import annotations
 
 import argparse
+import os
 
 from cnmf_tpu.io.dataframe import load_df_from_npz
 from cnmf_tpu.pipeline.cnmf import cNMF
+
+
+def _setup_compile_cache():
+    """Point JAX at a persistent compilation cache so every CLI invocation
+    (each stage is its own process, often one per worker) reuses compiled
+    programs. Override the location with CNMF_TPU_JAX_CACHE; set it to "0"
+    to disable."""
+    loc = os.environ.get("CNMF_TPU_JAX_CACHE")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(
+            os.path.expanduser("~"), ".cache", "cnmf_tpu", "jax_cache"
+        )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -64,6 +86,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _setup_compile_cache()
     cnmf_obj = cNMF(output_dir=args.output_dir, name=args.name)
 
     if args.command == "prepare":

@@ -250,8 +250,14 @@ def test_fused_k_stats_matches_unfused():
 
 
 def test_fused_k_stats_mu_solver():
-    """Fused stats with the MU/KL solver path stays finite and positive."""
+    """Fused stats with the MU/KL solver must match the step-by-step path
+    (kmeans + pandas medians + MU refit + silhouette + SSE) exactly."""
+    import pandas as pd
+    from cnmf_tpu.ops.kmeans import kmeans_fit
     from cnmf_tpu.ops.kstats import consensus_k_stats
+    from cnmf_tpu.ops.nmf import reconstruction_sse
+    from cnmf_tpu.ops.silhouette import silhouette_score_padded
+    from cnmf_tpu.pipeline.solvers import refit_usages
 
     rng = np.random.RandomState(3)
     Xnc = rng.rand(40, 30) + 0.01
@@ -260,5 +266,16 @@ def test_fused_k_stats_mu_solver():
     sil, sse = consensus_k_stats(jnp.asarray(Xnc), l2, 3,
                                  solver="mu", beta=1.0,
                                  refit_tol=1e-4, refit_max_iter=100)
-    assert np.isfinite(float(sil))
-    assert float(sse) > 0
+    kwargs = {"solver": "mu", "beta_loss": "kullback-leibler", "tol": 1e-4,
+              "max_iter": 100, "alpha_W": 0.0, "alpha_H": "same",
+              "l1_ratio": 0.0}
+    labels, _, _ = kmeans_fit(l2, n_clusters=3, n_init=10, random_state=1)
+    med = pd.DataFrame(l2).groupby(pd.Series(labels)).median()
+    med = (med.T / med.sum(axis=1)).T
+    usages = refit_usages(Xnc, med.values, kwargs, dtype=np.float64)
+    sil_u = silhouette_score_padded(l2, labels, 3)
+    sse_u = float(reconstruction_sse(
+        jnp.asarray(Xnc), jnp.asarray(usages), jnp.asarray(med.values)
+    ))
+    assert abs(float(sil) - sil_u) < 1e-10
+    assert abs(float(sse) - sse_u) / sse_u < 1e-8

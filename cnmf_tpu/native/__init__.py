@@ -89,8 +89,47 @@ def _load():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        for name, data_t in [
+            ("csr_col_moments_f64", ctypes.c_double),
+            ("csr_col_moments_f32", ctypes.c_float),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.POINTER(data_t), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ]
         _lib = lib
         return _lib
+
+
+def csr_col_moments(X):
+    """Per-column (sum, sum of squares) over the nonzeros of a CSR matrix,
+    one threaded pass. Returns None when the native library is unavailable
+    or the matrix layout/dtype isn't covered (caller falls back to numpy)."""
+    if not sp.isspmatrix_csr(X) or X.dtype not in (np.float64, np.float32):
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    if X.indices.dtype != np.int32:
+        return None  # >2^31 columns index space — numpy fallback
+    data = np.ascontiguousarray(X.data)
+    indices = np.ascontiguousarray(X.indices)
+    s = np.zeros(X.shape[1], dtype=np.float64)
+    q = np.zeros(X.shape[1], dtype=np.float64)
+    fn = (lib.csr_col_moments_f64 if X.dtype == np.float64
+          else lib.csr_col_moments_f32)
+    data_t = ctypes.c_double if X.dtype == np.float64 else ctypes.c_float
+    fn(
+        data.ctypes.data_as(ctypes.POINTER(data_t)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.int64(data.size), np.int64(X.shape[1]),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return s, q
 
 
 def densify_csr(X, out_dtype=None) -> np.ndarray:

@@ -54,3 +54,59 @@ void densify_csr_f64_to_f32(const double* data, const int32_t* indices,
 }
 
 }  // extern "C"
+
+// One-pass per-column sum / sum-of-squares over CSR nonzeros (the moments
+// feeding per-gene mean/variance; numpy needs two bincount passes plus a
+// transient squared-data copy). Thread-local accumulators, merged serially —
+// n_cols doubles are tiny next to the nnz stream.
+#include <vector>
+
+extern "C" {
+
+void csr_col_moments_f64(const double* data, const int32_t* indices,
+                         int64_t nnz, int64_t n_cols,
+                         double* sum_out, double* sumsq_out) {
+#pragma omp parallel
+    {
+        std::vector<double> ls((size_t)n_cols, 0.0), lq((size_t)n_cols, 0.0);
+#pragma omp for schedule(static)
+        for (int64_t p = 0; p < nnz; ++p) {
+            const double v = data[p];
+            const int32_t c = indices[p];
+            ls[c] += v;
+            lq[c] += v * v;
+        }
+#pragma omp critical
+        {
+            for (int64_t j = 0; j < n_cols; ++j) {
+                sum_out[j] += ls[j];
+                sumsq_out[j] += lq[j];
+            }
+        }
+    }
+}
+
+void csr_col_moments_f32(const float* data, const int32_t* indices,
+                         int64_t nnz, int64_t n_cols,
+                         double* sum_out, double* sumsq_out) {
+#pragma omp parallel
+    {
+        std::vector<double> ls((size_t)n_cols, 0.0), lq((size_t)n_cols, 0.0);
+#pragma omp for schedule(static)
+        for (int64_t p = 0; p < nnz; ++p) {
+            const double v = (double)data[p];
+            const int32_t c = indices[p];
+            ls[c] += v;
+            lq[c] += v * v;
+        }
+#pragma omp critical
+        {
+            for (int64_t j = 0; j < n_cols; ++j) {
+                sum_out[j] += ls[j];
+                sumsq_out[j] += lq[j];
+            }
+        }
+    }
+}
+
+}  // extern "C"

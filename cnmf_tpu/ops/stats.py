@@ -20,16 +20,26 @@ def mean_var(X, ddof: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     reference cnmf.py:131-134)."""
     n = X.shape[0]
     if sp.issparse(X):
-        # one pass over the nonzeros (bincount on the column indices) —
-        # X.multiply(X) would allocate a full transient copy of the matrix
+        # one pass over the nonzeros — X.multiply(X) would allocate a full
+        # transient copy of the matrix
         Xc = X.tocsr() if not (sp.isspmatrix_csr(X) or sp.isspmatrix_csc(X)) else X
+        moments = None
         if sp.isspmatrix_csr(Xc):
-            cols = Xc.indices
+            from cnmf_tpu.native import csr_col_moments
+
+            moments = csr_col_moments(Xc)  # threaded C++; None → numpy
+        if moments is not None:
+            colsum, colsq = moments
+            mean = colsum / n
+            sq = colsq / n
         else:
-            cols = np.repeat(np.arange(Xc.shape[1]), np.diff(Xc.indptr))
-        g = X.shape[1]
-        mean = np.bincount(cols, weights=Xc.data, minlength=g) / n
-        sq = np.bincount(cols, weights=np.square(Xc.data), minlength=g) / n
+            if sp.isspmatrix_csr(Xc):
+                cols = Xc.indices
+            else:
+                cols = np.repeat(np.arange(Xc.shape[1]), np.diff(Xc.indptr))
+            g = X.shape[1]
+            mean = np.bincount(cols, weights=Xc.data, minlength=g) / n
+            sq = np.bincount(cols, weights=np.square(Xc.data), minlength=g) / n
         var = sq - mean**2
     else:
         X = np.asarray(X)

@@ -35,3 +35,26 @@ def test_densify_fallback_path(monkeypatch):
                   dtype=np.float64)
     out = native.densify_csr(X, out_dtype=np.float32)
     np.testing.assert_array_equal(out, X.toarray().astype(np.float32))
+
+
+def test_csr_col_moments_matches_numpy():
+    import scipy.sparse as sp
+
+    from cnmf_tpu.native import csr_col_moments
+
+    rng = np.random.RandomState(3)
+    X = sp.random(300, 200, density=0.1, format="csr", random_state=2,
+                  dtype=np.float64)
+    out = csr_col_moments(X)
+    if out is None:  # no compiler in this environment — fallback covered
+        return
+    s, q = out
+    np.testing.assert_allclose(s, np.asarray(X.sum(axis=0)).ravel(), rtol=1e-12)
+    np.testing.assert_allclose(
+        q, np.asarray(X.multiply(X).sum(axis=0)).ravel(), rtol=1e-12)
+    # f32 data accumulates in f64
+    Xf = X.astype(np.float32)
+    sf, qf = csr_col_moments(Xf)
+    np.testing.assert_allclose(sf, s, rtol=1e-6)
+    # CSC / unusual layouts decline
+    assert csr_col_moments(X.tocsc()) is None

@@ -256,3 +256,45 @@ def test_artifact_memo_matches_disk_and_invalidates(tmp_path):
     # a fresh object has no memo at all
     obj2 = cNMF(output_dir=str(tmp_path), name="memo")
     assert obj2._recall_artifact(p) is None
+
+
+def test_artifact_memo_concurrent_accounting(tmp_path):
+    """Hammer the memo from a thread pool (factorize writes from one) and
+    re-memoize/invalidate repeatedly: the byte accounting must stay exactly
+    consistent with the dict contents — a drifting counter would silently
+    disable the memo (review finding)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    obj = cNMF(output_dir=str(tmp_path), name="memoacct")
+    paths = []
+    for i in range(16):
+        p = str(tmp_path / f"a{i}.npz")
+        with open(p, "wb") as fh:
+            fh.write(b"x" * (i + 1))
+        paths.append(p)
+
+    def worker(i):
+        arr = np.zeros(1000 + i)
+        for _ in range(50):
+            obj._memo_artifact(paths[i % len(paths)], arr, arr.nbytes)
+            obj._recall_artifact(paths[(i + 1) % len(paths)])
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        assert all(pool.map(worker, range(32)))
+
+    memo = obj._artifact_memo
+    expected = sum(entry[3] for entry in memo.values())
+    assert obj._artifact_memo_bytes == expected
+
+    # invalidations must release their charge
+    for p in paths[:8]:
+        os.utime(p, (1, 1))
+        assert obj._recall_artifact(p) is None
+    expected = sum(entry[3] for entry in obj._artifact_memo.values())
+    assert obj._artifact_memo_bytes == expected
+
+    # budget rejection leaves accounting untouched
+    big = np.zeros(1)
+    obj._memo_artifact(paths[8], big, int(1e18))
+    assert obj._artifact_memo_bytes == expected

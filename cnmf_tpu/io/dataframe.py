@@ -18,14 +18,34 @@ import pandas as pd
 _COMPRESS = os.environ.get("CNMF_TPU_COMPRESS", "0") == "1"
 
 
-def save_df_to_npz(obj: pd.DataFrame, filename: str) -> None:
+def save_df_to_npz(obj: pd.DataFrame, filename: str):
+    """Write atomically (temp file + rename) and return the written file's
+    ``(st_mtime_ns, st_size)``, captured from the open file descriptor.
+
+    Atomicity means concurrent readers never see a half-written npz, and the
+    returned stat is guaranteed to describe THIS write even if another
+    process rewrites the path immediately afterwards (rename preserves
+    mtime/size) — the pipeline's artifact memo keys on it."""
     writer = np.savez_compressed if _COMPRESS else np.savez
-    writer(
-        filename,
-        data=obj.values,
-        index=obj.index.values,
-        columns=obj.columns.values,
-    )
+    tmp = f"{filename}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            writer(
+                f,
+                data=obj.values,
+                index=obj.index.values,
+                columns=obj.columns.values,
+            )
+            f.flush()
+            st = os.fstat(f.fileno())
+        os.replace(tmp, filename)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    return (st.st_mtime_ns, st.st_size)
 
 
 def load_df_from_npz(filename: str) -> pd.DataFrame:

@@ -69,39 +69,55 @@ def _load():
                 return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            _lib_failed = True
-            return None
-        for name, data_t in [
-            ("densify_csr_f32", ctypes.c_float),
-            ("densify_csr_f64", ctypes.c_double),
-        ]:
-            fn = getattr(lib, name)
-            fn.restype = None
-            fn.argtypes = [
-                ctypes.POINTER(data_t), ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-                ctypes.c_int64, ctypes.POINTER(data_t),
-            ]
-        lib.densify_csr_f64_to_f32.restype = None
-        lib.densify_csr_f64_to_f32.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float),
-        ]
-        for name, data_t in [
-            ("csr_col_moments_f64", ctypes.c_double),
-            ("csr_col_moments_f32", ctypes.c_float),
-        ]:
-            fn = getattr(lib, name)
-            fn.restype = None
-            fn.argtypes = [
-                ctypes.POINTER(data_t), ctypes.POINTER(ctypes.c_int32),
-                ctypes.c_int64, ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ]
+            _bind_symbols(lib)
+        except (OSError, AttributeError):
+            # AttributeError: a prebuilt .so whose mtime post-dates the source
+            # (cp -p / rsync -a checkout, clock skew) but was compiled from
+            # older source missing newer symbols — rebuild once, then give up
+            # to the numpy fallback
+            lib = None
+            if _build():
+                try:
+                    lib = ctypes.CDLL(_LIB_PATH)
+                    _bind_symbols(lib)
+                except (OSError, AttributeError):
+                    lib = None
+            if lib is None:
+                _lib_failed = True
+                return None
         _lib = lib
         return _lib
+
+
+def _bind_symbols(lib) -> None:
+    for name, data_t in [
+        ("densify_csr_f32", ctypes.c_float),
+        ("densify_csr_f64", ctypes.c_double),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(data_t), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(data_t),
+        ]
+    lib.densify_csr_f64_to_f32.restype = None
+    lib.densify_csr_f64_to_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    for name, data_t in [
+        ("csr_col_moments_f64", ctypes.c_double),
+        ("csr_col_moments_f32", ctypes.c_float),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(data_t), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
 
 
 def csr_col_moments(X):

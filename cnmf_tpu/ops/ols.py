@@ -56,9 +56,10 @@ def efficient_ols_all_cols(
             # two-pass variance: E[(Y-mean)²] — the one-pass E[Y²]-mean² form
             # catastrophically cancels in f32 for high-mean/low-variance TPM
             # columns (measured ~36% beta error on mean≈1e3, std≈1 genes).
-            # Column-chunked so the centered intermediate stays ≤ ~800 MB —
-            # at atlas scale Y itself already fills half of HBM
-            gchunk = max(1, int(2e8 // max(Y.shape[0], 1)))
+            # Column-chunked so the centered intermediate stays ≤ ~800 MB
+            # in BYTES (×2 the itemsize budget at float64, the CPU/x64 test
+            # configuration) — at atlas scale Y itself already fills half of HBM
+            gchunk = max(1, int(8e8 // max(Y.shape[0] * Y.dtype.itemsize, 1)))
             means, vars = [], []
             for s in range(0, Y.shape[1], gchunk):
                 Ys = Y[:, s:s + gchunk]

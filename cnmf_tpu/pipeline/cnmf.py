@@ -141,11 +141,19 @@ class cNMF:
     # caller mutating a returned frame can never corrupt later stages.
     _ARTIFACT_MEMO_BYTES = int(5e8)
 
-    def _memo_artifact(self, path, obj, nbytes):
-        try:
-            st = os.stat(path)
-        except OSError:
-            return
+    def _memo_artifact(self, path, obj, nbytes, stat=None):
+        """``stat``: the (mtime_ns, size) pair returned by save_df_to_npz for
+        the write being memoized. Passing it closes the race where another
+        process rewrites ``path`` between our write and an os.stat here —
+        the memo must never pair another writer's identity with our object."""
+        if stat is not None:
+            mtime_ns, size = stat
+        else:
+            try:
+                st = os.stat(path)
+                mtime_ns, size = st.st_mtime_ns, st.st_size
+            except OSError:
+                return
         with _MEMO_LOCK:
             memo = getattr(self, "_artifact_memo", None)
             if memo is None:
@@ -155,7 +163,7 @@ class cNMF:
             used = self._artifact_memo_bytes - (prev[3] if prev else 0)
             if used + nbytes > self._ARTIFACT_MEMO_BYTES:
                 return
-            memo[path] = (st.st_mtime_ns, st.st_size, obj, nbytes)
+            memo[path] = (mtime_ns, size, obj, nbytes)
             self._artifact_memo_bytes = used + nbytes
 
     def _recall_artifact(self, path):
@@ -509,8 +517,8 @@ class cNMF:
                         columns=gene_index,
                     )
                     path = self.paths["iter_spectra"] % (k, it)
-                    save_df_to_npz(spectra, path)
-                    self._memo_artifact(path, spectra, spectra.values.nbytes)
+                    st = save_df_to_npz(spectra, path)
+                    self._memo_artifact(path, spectra, spectra.values.nbytes, stat=st)
 
                 list(pool.map(write_one, enumerate(iters)))
 
@@ -633,6 +641,12 @@ class cNMF:
     def factorize_multi_process(self, total_workers=None):
         """Compat shim: the batched device program replaces the reference's
         multiprocessing pool (cnmf.py:677-689); one call does all the work."""
+        if total_workers is not None and total_workers != 1:
+            print(
+                "factorize_multi_process: total_workers=%s ignored — the "
+                "batched device program already runs every restart in one "
+                "dispatch (no process pool needed)." % total_workers
+            )
         self.factorize(worker_i=0, total_workers=1)
 
     def _nmf(self, X, nmf_kwargs):
@@ -724,8 +738,13 @@ class cNMF:
             values, index=index, columns=frames[0].columns
         )
         merged_path = self.paths["merged_spectra"] % k
-        save_df_to_npz(combined_spectra, merged_path)
-        self._memo_artifact(merged_path, combined_spectra, values.nbytes)
+        st = save_df_to_npz(combined_spectra, merged_path)
+        # memoize a private copy: the live frame escapes to the caller below,
+        # and a caller mutating it must not corrupt what consensus /
+        # k_selection_plot later recall from the memo
+        self._memo_artifact(
+            merged_path, combined_spectra.copy(), values.nbytes, stat=st
+        )
         if remove_individual_iterations:
             # the reference accepts this kwarg without acting on it
             # (cnmf.py:748); here it actually deletes the per-iteration files

@@ -258,6 +258,29 @@ def test_artifact_memo_matches_disk_and_invalidates(tmp_path):
     assert obj2._recall_artifact(p) is None
 
 
+def test_combine_return_value_mutation_is_harmless(run):
+    """combine_nmf hands the caller a frame it may freely mutate; the memo
+    that consensus/k_selection later recall must keep the on-disk values
+    (review finding: the memo used to alias the returned object)."""
+    returned = run.combine_nmf(5)
+    disk = load_df_from_npz(run.paths["merged_spectra"] % 5)
+    returned.iloc[:, :] = -1.0  # caller trashes their copy
+    hit = run._recall_artifact(run.paths["merged_spectra"] % 5)
+    assert hit is not None
+    np.testing.assert_array_equal(hit.values, disk.values)
+
+
+def test_factorize_multi_process_notice(run, capsys):
+    """The pool shim must say out loud that total_workers is absorbed by the
+    batched device program (behavior change vs reference cnmf.py:677-689)."""
+    run.factorize_multi_process(total_workers=4)
+    out = capsys.readouterr().out
+    assert "total_workers=4 ignored" in out
+    run.factorize_multi_process()
+    out = capsys.readouterr().out
+    assert "ignored" not in out
+
+
 def test_artifact_memo_concurrent_accounting(tmp_path):
     """Hammer the memo from a thread pool (factorize writes from one) and
     re-memoize/invalidate repeatedly: the byte accounting must stay exactly

@@ -72,6 +72,7 @@ def _fused_k_stats(
     lloyd_tol: jax.Array,      # scalar, pre-scaled by mean feature variance
     n_points: jax.Array,       # scalar int32: real spectra rows
     n_clusters: jax.Array,     # scalar int32: real k
+    n_cells: jax.Array,        # scalar int32: real Xnc rows (≤ N when padded)
     *,
     n_cluster_pad: int,
     lloyd_max_iter: int,
@@ -100,7 +101,11 @@ def _fused_k_stats(
 
     # fixed-spectra NNLS usage refit (reference cnmf.py:918-920); padded
     # cluster slots have all-zero spectra so their usage columns stay 0 and
-    # the SSE below is exactly the unpadded one
+    # the SSE below is exactly the unpadded one. Likewise cell-padded Xnc
+    # rows (even mesh sharding, parallel.mesh.put_cells) keep their W rows
+    # pinned at 0 — CD inits at 0, MU gets a row-masked init and a mean over
+    # the real elements — so the silhouette/SSE scalars are exactly the
+    # unpadded ones.
     N = Xnc.shape[0]
     Ht0 = jnp.transpose(median_n)[None].astype(Xnc.dtype)
     if solver == "cd":
@@ -110,8 +115,11 @@ def _fused_k_stats(
             update_H=False, l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
         )
     else:
-        avg = jnp.sqrt(jnp.mean(Xnc) / n_clusters.astype(Xnc.dtype))
+        n_elem = (n_cells * Xnc.shape[1]).astype(Xnc.dtype)
+        avg = jnp.sqrt(jnp.sum(Xnc) / n_elem / n_clusters.astype(Xnc.dtype))
         W0 = jnp.full((1, N, n_cluster_pad), avg, Xnc.dtype)
+        cellmask = jnp.arange(N) < n_cells
+        W0 = W0 * cellmask[None, :, None].astype(Xnc.dtype)
         W, _, _ = nmf_multiplicative_update(
             Xnc, W0, Ht0, beta=beta, tol=refit_tol, max_iter=refit_max_iter,
             update_H=False, l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
@@ -141,6 +149,7 @@ def consensus_k_stats(
     pad_points_to: int = 512,
     pad_clusters_to: int = 8,
     use_pallas: bool = False,
+    n_cells: int = None,
 ):
     """Dispatch the fused stats program for one K; returns device scalars
     ``(silhouette, prediction_error)`` — call ``float()`` on them to block.
@@ -165,10 +174,12 @@ def consensus_k_stats(
     c0 = np.full((n_init, Kp, D), _PAD_SENTINEL, dtype=X.dtype)
     c0[:, :k] = centers0
 
+    n_cells = Xnc.shape[0] if n_cells is None else int(n_cells)
     return _fused_k_stats(
         Xnc, jnp.asarray(Xpad), jnp.asarray(c0),
         jnp.asarray(scaled_tol, dtype=X.dtype),
         jnp.asarray(R, jnp.int32), jnp.asarray(k, jnp.int32),
+        jnp.asarray(n_cells, jnp.int32),
         n_cluster_pad=Kp, lloyd_max_iter=lloyd_max_iter,
         solver=solver, beta=float(beta),
         refit_tol=float(refit_tol),

@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cnmf_tpu.ops.nmf import MATMUL_PRECISION
 import scipy.sparse as sp
@@ -47,7 +48,12 @@ def efficient_ols_all_cols(
     materialized.
     """
     n, k = U.shape
-    if Y.shape[0] != n:
+    if isinstance(Y, jax.Array) and Y.shape[0] > n:
+        # Y is cell-padded for even mesh sharding (parallel.mesh.put_cells):
+        # zero-pad U to match — zero rows add nothing to UᵀY/Uᵀ1, and the
+        # mean/variance reductions below divide by the REAL row count n
+        U = np.pad(np.asarray(U), ((0, Y.shape[0] - n), (0, 0)))
+    elif Y.shape[0] != n:
         raise ValueError("U and Y must have the same number of rows.")
     U = np.ascontiguousarray(U, dtype=dtype)
 
@@ -60,12 +66,14 @@ def efficient_ols_all_cols(
             # in BYTES (×2 the itemsize budget at float64, the CPU/x64 test
             # configuration) — at atlas scale Y itself already fills half of HBM
             gchunk = max(1, int(8e8 // max(Y.shape[0] * Y.dtype.itemsize, 1)))
+            rowmask = (jnp.arange(Y.shape[0]) < n)[:, None]
             means, vars = [], []
             for s in range(0, Y.shape[1], gchunk):
                 Ys = Y[:, s:s + gchunk]
-                m = jnp.mean(Ys, axis=0)
+                m = jnp.sum(Ys, axis=0) / n
                 means.append(m)
-                vars.append(jnp.mean(jnp.square(Ys - m[None, :]), axis=0))
+                centered = jnp.where(rowmask, Ys - m[None, :], 0.0)
+                vars.append(jnp.sum(jnp.square(centered), axis=0) / n)
             mean_d = jnp.concatenate(means)
             var_d = jnp.concatenate(vars)
             mean_y = np.asarray(mean_d, dtype=np.float64)
@@ -76,8 +84,15 @@ def efficient_ols_all_cols(
         inv_std = (1.0 / np.sqrt(var_y)).astype(dtype)
         mean_y = mean_y.astype(dtype)
 
-    XtX = (U.T @ U).astype(np.float64)
+    XtX = (U[:n].T @ U[:n]).astype(np.float64)
     Ud = jnp.asarray(U)
+    _ysh = getattr(Y, "sharding", None)
+    if isinstance(_ysh, NamedSharding) and tuple(_ysh.spec)[:1] not in ((), (None,)):
+        # co-shard U's rows with Y's so the UᵀY contraction psums over the
+        # mesh instead of all-gathering Y
+        Ud = jax.device_put(
+            Ud, NamedSharding(_ysh.mesh, P(tuple(_ysh.spec)[0], None))
+        )
 
     if isinstance(Y, jax.Array):
         Yd = Y.astype(dtype) if Y.dtype != dtype else Y

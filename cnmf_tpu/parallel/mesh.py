@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -38,6 +39,41 @@ def build_mesh(
         raise ValueError(f"{n} devices not divisible by cell_axis={cell_axis}")
     arr = np.array(devices).reshape(n // cell_axis, cell_axis)
     return Mesh(arr, axis_names=("restart", "cell"))
+
+
+def cell_sharding(ndim: int = 2, devices: Optional[Sequence] = None):
+    """NamedSharding placing dim 0 (cells) across ALL devices on a 1-D cell
+    mesh — the consensus-stage layout, where there is no restart batch and
+    the scaling axis is N cells (SURVEY §5 'long-context analogue').
+    Returns None with fewer than two devices."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    mesh = build_mesh(devices, cell_axis=len(devices))
+    return NamedSharding(mesh, P(*(["cell"] + [None] * (ndim - 1))))
+
+
+def put_cells(arr, devices: Optional[Sequence] = None):
+    """Upload with dim 0 sharded over every device, zero-padding dim 0 to
+    the device count multiple (committed arrays need even shards).
+
+    Zero rows are exactly neutral in every consensus-stage consumer: the
+    NNLS refits pin the corresponding usage rows at 0, gram/OLS
+    accumulations receive zero contributions, and mean/variance reductions
+    divide by the REAL row count the caller passes alongside. Callers slice
+    per-cell outputs back to the real row count they already know.
+    With a single device this is a plain replicated upload, unpadded."""
+    sharding = cell_sharding(np.ndim(arr), devices)
+    if sharding is None:
+        return jnp.asarray(arr)
+    n_dev = len(devices) if devices is not None else len(jax.devices())
+    pad = (-arr.shape[0]) % n_dev
+    if pad:
+        arr = np.concatenate(
+            [arr, np.zeros((pad,) + arr.shape[1:], dtype=arr.dtype)]
+        )
+    return jax.device_put(arr, sharding)
 
 
 def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> Tuple[np.ndarray, int]:

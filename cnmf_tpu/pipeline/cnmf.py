@@ -47,7 +47,12 @@ from cnmf_tpu.ops.kmeans import kmeans_fit
 from cnmf_tpu.ops.normalize import normalize_total, scale_unit_variance
 from cnmf_tpu.ops.ols import efficient_ols_all_cols
 from cnmf_tpu.ops.stats import get_highvar_genes, mean_var
-from cnmf_tpu.parallel.mesh import build_mesh, pad_to_multiple, shard_factorize_inputs
+from cnmf_tpu.parallel.mesh import (
+    build_mesh,
+    pad_to_multiple,
+    put_cells,
+    shard_factorize_inputs,
+)
 from cnmf_tpu.pipeline.paths import build_paths
 from cnmf_tpu.pipeline.plots import clustergram, k_selection_figure
 from cnmf_tpu.utils.timing import timed
@@ -125,6 +130,17 @@ class cNMF:
         value = build()
         setattr(self, attr, (weakref.ref(key_obj), value))
         return value
+
+    def _put_cells(self, arr):
+        """Upload a (cells × features) matrix with the cell axis sharded over
+        every local device (zero-padded to an even shard, see
+        parallel.mesh.put_cells) — the consensus-stage NNLS refits, z-score
+        OLS and fused k-stats then run GSPMD-partitioned, with the gram /
+        moment reductions over cells psum'd across the mesh (SURVEY §2.6).
+        Set ``self.shard_cells = False`` to force replicated uploads."""
+        if getattr(self, "shard_cells", True):
+            return put_cells(arr)
+        return jnp.asarray(arr)
 
     def clear_device_caches(self):
         """Drop cached device buffers (norm counts / TPM) and cached h5ad
@@ -472,8 +488,10 @@ class cNMF:
         Xd = jnp.asarray(X)
         # seed the consensus-stage cache: a same-process consensus /
         # k_selection sweep reuses this device buffer instead of paying the
-        # densify + upload again (skipped at atlas scale to not pin HBM)
-        if X.nbytes < 2e9:
+        # densify + upload again (skipped at atlas scale to not pin HBM, and
+        # on multi-device hosts where consensus wants a cell-SHARDED buffer,
+        # not this replicated one)
+        if X.nbytes < 2e9 and len(jax.devices()) == 1:
             self._device_cached("_norm_counts_dev_cache", norm_counts, lambda: Xd)
 
         gene_index = norm_counts.var.index
@@ -829,7 +847,7 @@ class cNMF:
         )
 
         def to_device(Xm):
-            return jnp.asarray(densify_csr(Xm, out_dtype=self.compute_dtype))
+            return self._put_cells(densify_csr(Xm, out_dtype=self.compute_dtype))
 
         if skip_density_and_return_after_stats:
             # fused stats program: Lloyd → medians → NNLS → silhouette → SSE
@@ -879,13 +897,14 @@ class cNMF:
         # one device copy of norm counts, shared by the refits — and cached
         # across repeated consensus calls on the same preloaded object
         # (reference cnmf.py:1124-1130)
+        n_cells = norm_counts.X.shape[0]
         norm_counts_dev = self._device_cached(
             "_norm_counts_dev_cache", norm_counts,
             lambda: to_device(norm_counts.X),
         )
         rf_usages = refit_usages(
             norm_counts_dev, median_spectra.values, nmf_kwargs,
-            dtype=self.compute_dtype,
+            dtype=self.compute_dtype, n_rows=n_cells,
         )
         rf_usages = pd.DataFrame(
             rf_usages, index=norm_counts.obs.index, columns=median_spectra.index,
@@ -968,9 +987,13 @@ class cNMF:
             zero_safe = sp.issparse(tpm.X)
             if tpm_on_device:
                 tpm_hvg = tpm_src[:, jnp.asarray(hvg_idx)]
-                n = tpm_hvg.shape[0]
-                mean = jnp.mean(tpm_hvg, axis=0)
-                var = (jnp.mean(tpm_hvg * tpm_hvg, axis=0) - mean * mean) * n / (n - 1)
+                # one-pass moments dividing by the REAL cell count — tpm_src
+                # may carry zero-padded rows (even mesh sharding), which add
+                # nothing to either column sum
+                n = n_cells
+                mean = jnp.sum(tpm_hvg, axis=0) / n
+                sq = jnp.sum(tpm_hvg * tpm_hvg, axis=0) / n
+                var = (sq - mean * mean) * n / (n - 1)
                 std = jnp.sqrt(jnp.maximum(var, 0.0))
                 if zero_safe:
                     std = jnp.where(std == 0, 1.0, std)
@@ -993,6 +1016,7 @@ class cNMF:
                 if sp.issparse(norm_tpm_X) else np.asarray(norm_tpm_X),
                 spectra_tpm_rf.values.astype(self.compute_dtype),
                 nmf_kwargs, dtype=self.compute_dtype,
+                n_rows=n_cells if tpm_on_device else None,
             )
             rf_usages = pd.DataFrame(
                 rf_usages, index=norm_counts.obs.index,
@@ -1079,9 +1103,10 @@ class cNMF:
         """Dispatch the fused K-stats device program (ops/kstats.py) for one
         K; returns unsynchronized device scalars (silhouette, sse) so a
         K sweep can enqueue every program before fetching any result."""
+        n_cells = norm_counts.X.shape[0]
         norm_counts_dev = self._device_cached(
             "_norm_counts_dev_cache", norm_counts,
-            lambda: jnp.asarray(
+            lambda: self._put_cells(
                 densify_csr(norm_counts.X, out_dtype=self.compute_dtype)
             ),
         )
@@ -1090,7 +1115,7 @@ class cNMF:
             float(nmf_kwargs.get("alpha_W", 0.0)),
             nmf_kwargs.get("alpha_H", "same"),
             float(nmf_kwargs.get("l1_ratio", 0.0)),
-            norm_counts_dev.shape,
+            (n_cells, norm_counts_dev.shape[1]),
         )
         return consensus_k_stats(
             norm_counts_dev,
@@ -1101,6 +1126,7 @@ class cNMF:
             refit_max_iter=int(nmf_kwargs.get("max_iter", 200)),
             l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
             use_pallas=mu_pallas_eligible(beta, self.compute_dtype),
+            n_cells=n_cells,
         )
 
     @timed("k_selection_plot")

@@ -111,19 +111,45 @@ def solve_nmf_batch(
     )
 
 
+def _match_factor_shardings(X, W0, Ht0):
+    """Place W/Ht on the data matrix's mesh: W rows follow X rows, Ht rows
+    follow X columns (a replicated spec when the dim is unsharded). GSPMD
+    then partitions the whole solver program from these annotations — the
+    XᵀW/WᵀW grams over a sharded axis become psum reductions."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = getattr(X, "sharding", None)
+    if not isinstance(sh, NamedSharding):
+        return W0, Ht0
+    spec = tuple(sh.spec) + (None,) * (2 - len(sh.spec))
+    if spec[0] is None and spec[1] is None:
+        return W0, Ht0
+    W0 = jax.device_put(W0, NamedSharding(sh.mesh, P(None, spec[0], None)))
+    Ht0 = jax.device_put(Ht0, NamedSharding(sh.mesh, P(None, spec[1], None)))
+    return W0, Ht0
+
+
 def refit_usages(
     X,
     spectra: np.ndarray,
     nmf_kwargs: dict,
     dtype=np.float32,
     mu_chunk: int = 8,
+    n_rows: int = None,
 ) -> np.ndarray:
     """Fixed-spectra NNLS usage refit (sklearn update_H=False semantics):
     W init zeros for CD, sqrt(X.mean()/K) for MU (reference cnmf.py:776-802).
 
     ``X`` may be a host array or an already-device-resident jax array —
     consensus reuses one device copy across its three refits to avoid
-    re-uploading the full-gene TPM matrix."""
+    re-uploading the full-gene TPM matrix. A device-resident X may be
+    cell-padded for even mesh sharding (parallel.mesh.put_cells): pass
+    ``n_rows`` = the real row count, and the padding stays exactly neutral —
+    padded W rows are pinned at 0 (CD inits at 0; MU gets a masked init and
+    a real-element mean) and the result is sliced back to ``n_rows``.
+    When X's COLUMNS are padded cells (the transpose-trick spectra refit),
+    the fixed spectra grow matching zero columns, which contribute nothing
+    to the HHt gram or the XHt product."""
     solver = nmf_kwargs.get("solver", "cd")
     k = spectra.shape[0]
     # zero-pad the component count to a bucket of 8 so refits across a K
@@ -132,16 +158,28 @@ def refit_usages(
     # so their usage converges to 0 and is sliced away)
     pad_k = -(-k // 8) * 8
     spectra_p = np.ascontiguousarray(spectra.T, dtype=dtype)
+    real_cols = spectra_p.shape[0]
     if pad_k > k:
         spectra_p = np.pad(spectra_p, ((0, 0), (0, pad_k - k)))
     if isinstance(X, jax.Array):
         Xd = X.astype(dtype) if X.dtype != dtype else X
+        n_total = Xd.shape[0]
+        n_real = n_total if n_rows is None else int(n_rows)
+        if spectra_p.shape[0] < Xd.shape[1]:
+            spectra_p = np.pad(
+                spectra_p, ((0, Xd.shape[1] - spectra_p.shape[0]), (0, 0))
+            )
         if solver == "mu":
-            avg = float(jnp.sqrt(jnp.mean(Xd) / k))
-            W0 = jnp.full((1, Xd.shape[0], pad_k), avg, dtype=dtype)
+            # mean over the REAL elements (zero-padded rows/columns excluded)
+            avg = float(jnp.sqrt(jnp.sum(Xd) / (n_real * real_cols) / k))
+            W0 = jnp.full((1, n_total, pad_k), avg, dtype=dtype)
+            if n_real < n_total:
+                rowmask = jnp.arange(n_total) < n_real
+                W0 = W0 * rowmask[None, :, None].astype(dtype)
         else:
-            W0 = jnp.zeros((1, Xd.shape[0], pad_k), dtype=dtype)
+            W0 = jnp.zeros((1, n_total, pad_k), dtype=dtype)
     else:
+        n_real = X.shape[0] if n_rows is None else int(n_rows)
         Xd = jnp.asarray(np.ascontiguousarray(X, dtype=dtype))
         W0 = jnp.asarray(
             np.pad(nnls_w_init(X, k, solver, dtype=dtype),
@@ -149,7 +187,8 @@ def refit_usages(
                    mode="edge" if solver == "mu" else "constant")[None]
         )
     Ht0 = jnp.asarray(spectra_p[None])
+    W0, Ht0 = _match_factor_shardings(Xd, W0, Ht0)
     W, _, _ = solve_nmf_batch(
         Xd, W0, Ht0, nmf_kwargs, update_H=False, mu_chunk=mu_chunk
     )
-    return np.asarray(W[0, :, :k])
+    return np.asarray(W[0, :n_real, :k])

@@ -89,6 +89,68 @@ def test_factorize_pipeline_on_mesh(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9)
 
 
+def _planted_counts(n, g, k, seed):
+    rng = np.random.RandomState(seed)
+    X = rng.poisson(
+        rng.gamma(0.7, 1.0, (n, k)) @ (rng.gamma(0.5, 1.0, (k, g)) * (rng.rand(k, g) < 0.4))
+        + 0.2
+    ).astype(float)
+    X[X.sum(axis=1) == 0, 0] = 1
+    return X
+
+
+@requires_8_devices
+@pytest.mark.parametrize("beta_loss", ["frobenius", "kullback-leibler"])
+def test_consensus_sharded_matches_replicated(tmp_path, beta_loss):
+    """Full consensus with the data matrix cell-sharded over the 8-device
+    mesh (zero-padded to even shards: 84 % 8 != 0) must reproduce the
+    replicated single-buffer run — NNLS refits, z-score OLS, final refit and
+    the fused k-stats all run GSPMD-partitioned with psum'd reductions."""
+    import pandas as pd
+    from cnmf_tpu import cNMF
+    from cnmf_tpu.io.dataframe import load_df_from_npz
+
+    n = 84  # deliberately not divisible by 8
+    X = _planted_counts(n, 150, 4, seed=11)
+    df = pd.DataFrame(X, index=[f"c{i}" for i in range(n)],
+                      columns=[f"g{j}" for j in range(150)])
+    fn = str(tmp_path / "counts.txt")
+    df.to_csv(fn, sep="\t")
+
+    name = f"cons_{beta_loss[:4]}"
+    obj = cNMF(output_dir=str(tmp_path), name=name, compute_dtype=np.float64)
+    obj.prepare(counts_fn=fn, components=[4], n_iter=8, seed=5,
+                num_highvar_genes=80, beta_loss=beta_loss, max_NMF_iter=300)
+    obj.factorize(verbose=False)
+    obj.combine()
+
+    artifacts = ["consensus_spectra", "consensus_usages",
+                 "gene_spectra_tpm", "gene_spectra_score"]
+    results = {}
+    for mode, shard in [("replicated", False), ("sharded", True)]:
+        run = cNMF(output_dir=str(tmp_path), name=name,
+                   compute_dtype=np.float64)
+        run.shard_cells = shard
+        stats = run.consensus(k=4, skip_density_and_return_after_stats=True,
+                              show_clustering=False)
+        run.consensus(k=4, density_threshold=0.5, show_clustering=False,
+                      build_ref=False)
+        results[mode] = {
+            key: load_df_from_npz(run.paths[key] % (4, "0_5")) for key in artifacts
+        }
+        results[mode]["stats"] = stats.values.astype(float)
+
+    for key in artifacts:
+        a, b = results["replicated"][key], results["sharded"][key]
+        assert list(a.index) == list(b.index)
+        np.testing.assert_allclose(a.values, b.values, rtol=1e-6, atol=1e-9,
+                                   err_msg=key)
+    np.testing.assert_allclose(
+        results["replicated"]["stats"], results["sharded"]["stats"],
+        rtol=1e-6, atol=1e-9,
+    )
+
+
 @requires_8_devices
 def test_graft_dryrun():
     import __graft_entry__ as ge

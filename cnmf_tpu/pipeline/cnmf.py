@@ -47,12 +47,7 @@ from cnmf_tpu.ops.kmeans import kmeans_fit
 from cnmf_tpu.ops.normalize import normalize_total, scale_unit_variance
 from cnmf_tpu.ops.ols import efficient_ols_all_cols
 from cnmf_tpu.ops.stats import get_highvar_genes, mean_var
-from cnmf_tpu.parallel.mesh import (
-    build_mesh,
-    pad_to_multiple,
-    put_cells,
-    shard_factorize_inputs,
-)
+from cnmf_tpu.parallel.mesh import build_mesh, put_cells
 from cnmf_tpu.pipeline.paths import build_paths
 from cnmf_tpu.pipeline.plots import clustergram, k_selection_figure
 from cnmf_tpu.utils.timing import timed
@@ -63,6 +58,7 @@ from cnmf_tpu.pipeline.solvers import (
     mu_pallas_eligible,
     refit_usages,
     solve_nmf_batch,
+    solve_nmf_batch_sharded,
 )
 
 
@@ -612,16 +608,12 @@ class cNMF:
             mesh = None
             if use_mesh and len(jax.devices()) > 1:
                 mesh = build_mesh()
-                n_restart_shards = mesh.shape["restart"]
-                W0, true_b = pad_to_multiple(W0, n_restart_shards)
-                Ht0, _ = pad_to_multiple(Ht0, n_restart_shards)
-                Xs, W0d, Ht0d = shard_factorize_inputs(mesh, Xd, W0, Ht0)
-                # pallas_call has no GSPMD partitioning rule — keep the
-                # sharded path on the pure-XLA solvers
-                W, Ht, n_iter = solve_nmf_batch(
-                    Xs, W0d, Ht0d, nmf_kwargs, allow_pallas=False
+                # beta != 2 solves run under shard_map over the restart axis
+                # so the fused Pallas MU kernels stay usable per shard;
+                # frobenius/CD and cell-sharded meshes take the GSPMD path
+                W, Ht, n_iter = solve_nmf_batch_sharded(
+                    mesh, Xd, W0, Ht0, nmf_kwargs
                 )
-                Ht = Ht[:true_b]
             else:
                 # compaction measured slower than the plain batched solve on
                 # current hardware (dispatch overhead > tail savings); opt in

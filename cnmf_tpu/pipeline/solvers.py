@@ -8,6 +8,7 @@ solver from it. This module maps that dict onto the JAX kernels in
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Tuple
 
@@ -109,6 +110,90 @@ def solve_nmf_batch(
         l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H, chunk=mu_chunk,
         use_pallas=use_pallas,
     )
+
+
+def solve_nmf_batch_sharded(
+    mesh,
+    X,
+    W0,
+    Ht0,
+    nmf_kwargs: dict,
+    update_H: bool = True,
+    mu_chunk: int = 8,
+    force_shard_map: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched solve over a (restart, cell) mesh; returns (W, Ht, n_iter)
+    sliced back to the true restart count.
+
+    The restart batch pads to the restart-shard multiple (repeating restart
+    0 — exact, padded results are discarded). Two partitioning modes:
+
+    * beta != 2 with the fused Pallas kernels eligible and no cell sharding:
+      the WHOLE solver runs under ``shard_map`` over the restart axis — each
+      device executes the Pallas MU program on its local restart slice. This
+      is exact because the MU solver is restart-separable (per-restart
+      factors, errors and convergence masks; X replicated), and it is what
+      keeps multi-device KL/IS off the HBM-heavy chunked-XLA fallback
+      (pallas_call has no GSPMD partitioning rule).
+    * otherwise: GSPMD shardings on the inputs and the pure-XLA solver,
+      which also covers cell-axis sharding (psum'd XᵀW/WᵀW grams).
+
+    ``force_shard_map`` exercises the shard_map path regardless of Pallas
+    eligibility (used by tests, where the CPU backend disqualifies Pallas).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cnmf_tpu.parallel.mesh import pad_to_multiple, shard_factorize_inputs
+
+    n_restart = mesh.shape["restart"]
+    W0p, true_b = pad_to_multiple(np.asarray(W0), n_restart)
+    Ht0p, _ = pad_to_multiple(np.asarray(Ht0), n_restart)
+
+    beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+    solver = nmf_kwargs.get("solver", "cd")
+    use_pallas = mu_pallas_eligible(beta, np.asarray(W0).dtype)
+    shmap_ok = (
+        solver != "cd" and beta != 2.0 and mesh.shape["cell"] == 1
+        and (use_pallas or force_shard_map)
+    )
+    if shmap_ok:
+        from jax import shard_map
+
+        l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H = compute_regularization(
+            float(nmf_kwargs.get("alpha_W", 0.0)),
+            nmf_kwargs.get("alpha_H", "same"),
+            float(nmf_kwargs.get("l1_ratio", 0.0)),
+            X.shape,
+        )
+        fn = functools.partial(
+            nmf_multiplicative_update,
+            beta=beta,
+            tol=float(nmf_kwargs.get("tol", 1e-4)),
+            max_iter=int(nmf_kwargs.get("max_iter", 200)),
+            update_H=update_H,
+            l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+            l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+            chunk=mu_chunk, use_pallas=use_pallas,
+        )
+        rspec = P("restart", None, None)
+        solve = shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), rspec, rspec),
+            out_specs=(rspec, rspec, P("restart")),
+            check_vma=False,
+        )
+        Xd = jax.device_put(X, NamedSharding(mesh, P()))
+        W0d = jax.device_put(W0p, NamedSharding(mesh, rspec))
+        Ht0d = jax.device_put(Ht0p, NamedSharding(mesh, rspec))
+        W, Ht, n_iter = jax.jit(solve)(Xd, W0d, Ht0d)
+        return W[:true_b], Ht[:true_b], n_iter[:true_b]
+
+    Xs, W0d, Ht0d = shard_factorize_inputs(mesh, X, W0p, Ht0p)
+    W, Ht, n_iter = solve_nmf_batch(
+        Xs, W0d, Ht0d, nmf_kwargs, update_H=update_H, mu_chunk=mu_chunk,
+        allow_pallas=False,
+    )
+    return W[:true_b], Ht[:true_b], n_iter[:true_b]
 
 
 def _match_factor_shardings(X, W0, Ht0):

@@ -89,6 +89,33 @@ def test_factorize_pipeline_on_mesh(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9)
 
 
+@requires_8_devices
+@pytest.mark.parametrize("beta_loss", ["kullback-leibler", "itakura-saito"])
+def test_shard_map_mu_matches_single_device(beta_loss):
+    """The shard_map-over-restarts MU path (the one that keeps the fused
+    Pallas kernels usable per shard on TPU) must be bit-equivalent to the
+    single-device batched solver: the solver is restart-separable, so
+    splitting the batch across devices changes nothing."""
+    from cnmf_tpu.pipeline.solvers import solve_nmf_batch, solve_nmf_batch_sharded
+
+    X, W0, Ht0 = make_problem(n=40, g=32, k=4, b=6, dtype=np.float64)
+    X = X + 0.05  # strictly positive for IS
+    kwargs = {"solver": "mu", "beta_loss": beta_loss, "tol": 1e-4,
+              "max_iter": 60}
+    mesh = build_mesh(jax.devices()[:8], cell_axis=1)
+    Ws, Hts, n_s = solve_nmf_batch_sharded(
+        mesh, jnp.asarray(X), W0, Ht0, kwargs, force_shard_map=True
+    )
+    W1, Ht1, n_1 = solve_nmf_batch(
+        jnp.asarray(X), jnp.asarray(W0), jnp.asarray(Ht0), kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_1))
+    np.testing.assert_allclose(np.asarray(Hts), np.asarray(Ht1),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Ws), np.asarray(W1),
+                               rtol=1e-10, atol=1e-12)
+
+
 def _planted_counts(n, g, k, seed):
     rng = np.random.RandomState(seed)
     X = rng.poisson(

@@ -52,6 +52,17 @@ def mean_var(X, ddof: int = 0) -> Tuple[np.ndarray, np.ndarray]:
 
 
 
+# Overdispersion baseline model (selection contract set by reference
+# cnmf.py:136-242; restated): for Poisson sampling the Fano factor var/mean
+# is 1, and multiplicative technical scaling inflates it to roughly
+# A²·mean + B² — the A² term calibrated from the most highly expressed genes
+# (where sampling noise is negligible and sqrt(var)/mean ≈ the technical
+# coefficient of variation) and B² from the median Fano of "ordinary" genes.
+# Genes are ranked by observed/expected Fano.
+_N_CALIBRATION_GENES = 20        # top-mean genes that set A
+_WINSOR_QUANTILES = (0.10, 0.90)  # mean/fano box that sets B
+
+
 def fano_hvg_stats(
     gene_mean: np.ndarray,
     gene_var: np.ndarray,
@@ -61,56 +72,60 @@ def fano_hvg_stats(
 ) -> Tuple[pd.DataFrame, dict]:
     """Fano-factor HVG selection given per-gene mean/var of the TPM matrix.
 
-    The expected-fano line ``A²·mean + B²`` is fit from the top-20-mean genes
-    (A) and the winsor-box median fano (B); genes are ranked by
-    fano/expected_fano. With ``numgenes`` set, the top-N ranked genes are
-    selected; otherwise a threshold ``T = 1 + std(fano in box)`` plus a
-    minimum-mean filter applies (reference cnmf.py:136-188).
+    With ``numgenes`` set, the ``numgenes`` genes with the largest
+    observed/expected Fano ratio are selected; otherwise a ratio threshold
+    ``T`` (given, or 1 + the winsor-box Fano std) combined with a minimum
+    mean applies. Selection semantics match reference cnmf.py:136-188: NaN
+    ratios (zero-mean genes) rank last and never pass the threshold, and
+    quantiles/medians ignore NaN Fano values.
     """
-    gene_mean = pd.Series(np.asarray(gene_mean, dtype=np.float64))
-    gene_var = pd.Series(np.asarray(gene_var, dtype=np.float64))
-    gene_fano = gene_var / gene_mean
+    mean = np.asarray(gene_mean, dtype=np.float64)
+    var = np.asarray(gene_var, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fano = var / mean  # 0/0 → NaN, x/0 → inf, like the pandas original
 
-    top_genes = gene_mean.sort_values(ascending=False)[:20].index
-    A = (np.sqrt(gene_var) / gene_mean)[top_genes].min()
+    # A: cleanest coefficient of variation among the top-expressed genes
+    calib = np.argsort(-mean, kind="stable")[:_N_CALIBRATION_GENES]
+    A = float(np.min(np.sqrt(var[calib]) / mean[calib]))
 
-    w_mean_low, w_mean_high = gene_mean.quantile([0.10, 0.90])
-    w_fano_low, w_fano_high = gene_fano.quantile([0.10, 0.90])
-    winsor_box = (
-        (gene_fano > w_fano_low)
-        & (gene_fano < w_fano_high)
-        & (gene_mean > w_mean_low)
-        & (gene_mean < w_mean_high)
-    )
-    fano_median = gene_fano[winsor_box].median()
-    B = np.sqrt(fano_median)
+    # B: median Fano inside the winsor box (both stats strictly within
+    # their 10-90% quantiles; NaN Fano genes drop out of every comparison)
+    mean_lo, mean_hi = np.quantile(mean, _WINSOR_QUANTILES)
+    fano_lo, fano_hi = np.nanquantile(fano, _WINSOR_QUANTILES)
+    in_box = (fano > fano_lo) & (fano < fano_hi) & (mean > mean_lo) & (mean < mean_hi)
+    B = float(np.sqrt(np.median(fano[in_box])))
 
-    gene_expected_fano = (A**2) * gene_mean + (B**2)
-    fano_ratio = gene_fano / gene_expected_fano
+    expected_fano = A * A * mean + B * B
+    with np.errstate(invalid="ignore"):
+        fano_ratio = fano / expected_fano
 
+    n_genes = mean.size
     if numgenes is not None:
-        highvargenes = fano_ratio.sort_values(ascending=False).index[:numgenes]
-        high_var_genes_ind = fano_ratio.index.isin(highvargenes)
+        # descending ratio; numpy sorts NaN last, matching pandas
+        ranked = np.argsort(-fano_ratio, kind="stable")
+        high_var = np.zeros(n_genes, dtype=bool)
+        high_var[ranked[:numgenes]] = True
         T = None
     else:
-        if not expected_fano_threshold:
-            T = 1.0 + gene_fano[winsor_box].std()
-        else:
-            T = expected_fano_threshold
-        high_var_genes_ind = (fano_ratio > T) & (gene_mean > minimal_mean)
+        # `or`-style falsy check kept from the reference: threshold 0 means
+        # "derive from the box", not "select everything"
+        T = (expected_fano_threshold
+             or 1.0 + float(np.std(fano[in_box], ddof=1)))
+        with np.errstate(invalid="ignore"):
+            high_var = (fano_ratio > T) & (mean > minimal_mean)
 
     gene_counts_stats = pd.DataFrame(
         {
-            "mean": gene_mean,
-            "var": gene_var,
-            "fano": gene_fano,
-            "expected_fano": gene_expected_fano,
-            "high_var": high_var_genes_ind,
+            "mean": mean,
+            "var": var,
+            "fano": fano,
+            "expected_fano": expected_fano,
+            "high_var": high_var,
             "fano_ratio": fano_ratio,
         }
     )
-    gene_fano_parameters = {"A": A, "B": B, "T": T, "minimal_mean": minimal_mean}
-    return gene_counts_stats, gene_fano_parameters
+    fit_params = {"A": A, "B": B, "T": T, "minimal_mean": minimal_mean}
+    return gene_counts_stats, fit_params
 
 
 def get_highvar_genes(tpm_X, numgenes: Optional[int] = None,

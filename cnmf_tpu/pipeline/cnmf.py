@@ -317,38 +317,37 @@ class cNMF:
         self, counts, tpm, high_variance_genes_filter=None, num_highvar_genes=None
     ) -> AnnData:
         """Subset to HVGs and scale genes to unit variance without centering
-        (reference cnmf.py:487-556)."""
+        (behavioral contract per reference cnmf.py:487-556: f64 cast,
+        ddof=1 scaling, zero-std genes guarded only for sparse input, the
+        HVG list file, and the zero-HVG-cell error)."""
         if high_variance_genes_filter is None:
-            gene_counts_stats, _ = get_highvar_genes(
-                tpm.X, numgenes=num_highvar_genes
-            )
+            hvg_stats, _ = get_highvar_genes(tpm.X, numgenes=num_highvar_genes)
             high_variance_genes_filter = list(
-                tpm.var.index[gene_counts_stats.high_var.values]
+                tpm.var.index[hvg_stats.high_var.values]
             )
 
         norm_counts = counts[:, high_variance_genes_filter].copy()
-        norm_counts.X = norm_counts.X.astype(np.float64)
+        # the reference only guards zero-std divisions on its sparse path
+        # (scanpy pp.scale) and divides unguarded when dense — preserved
+        sparse_input = sp.issparse(tpm.X)
+        norm_counts.X = scale_unit_variance(
+            norm_counts.X.astype(np.float64), ddof=1, zero_safe=sparse_input
+        )
+        values = norm_counts.X.data if sparse_input else norm_counts.X
+        if np.isnan(values).any():
+            print("Warning NaNs in normalized counts matrix")
 
-        if sp.issparse(tpm.X):
-            norm_counts.X = scale_unit_variance(norm_counts.X, ddof=1, zero_safe=True)
-            if np.isnan(norm_counts.X.data).sum() > 0:
-                print("Warning NaNs in normalized counts matrix")
-        else:
-            norm_counts.X = scale_unit_variance(norm_counts.X, ddof=1, zero_safe=False)
-            if np.isnan(norm_counts.X).sum().sum() > 0:
-                print("Warning NaNs in normalized counts matrix")
+        with open(self.paths["nmf_genes_list"], "w") as fh:
+            fh.write("\n".join(high_variance_genes_filter))
 
-        with open(self.paths["nmf_genes_list"], "w") as F:
-            F.write("\n".join(high_variance_genes_filter))
-
-        zerocells = np.asarray(norm_counts.X.sum(axis=1) == 0).reshape(-1)
-        if zerocells.sum() > 0:
-            examples = norm_counts.obs.index[np.ravel(zerocells)]
+        zero_cells = np.ravel(np.asarray(norm_counts.X.sum(axis=1)) == 0)
+        if zero_cells.any():
+            examples = norm_counts.obs.index[zero_cells]
             raise Exception(
                 "Error: %d cells have zero counts of overdispersed genes. E.g. %s. "
                 "Filter those cells and re-run or adjust the number of "
                 "overdispersed genes. Quitting!"
-                % (zerocells.sum(), ", ".join(examples[:4]))
+                % (zero_cells.sum(), ", ".join(examples[:4]))
             )
         return norm_counts
 
@@ -361,68 +360,74 @@ class cNMF:
         beta_loss="kullback-leibler", alpha_usage=0.0, alpha_spectra=0.0,
         init="random", max_iter=1000,
     ):
-        """Replicate-parameter grid with order-stable per-(K, iter) seeds
-        (reference cnmf.py:564-633; the seed vector length uses the pre-dedup
-        ks length, preserving the reference's quirk)."""
-        import itertools
+        """Replicate-parameter grid with order-stable per-(K, iter) seeds.
 
-        if type(ks) is int:
-            ks = [ks]
-        k_list = sorted(set(list(ks)))
-
-        n_runs = len(ks) * n_iter
+        Determinism contract (reference cnmf.py:564-633): the master seed
+        feeds the global numpy RNG, which draws one int seed per grid row in
+        K-major/iter-minor order, so serial and worker-sharded runs produce
+        identical spectra. Quirk kept: the seed vector is sized from the
+        PRE-dedup ks length, so duplicate ks draw (unused) extra seeds.
+        """
+        ks = [ks] if type(ks) is int else ks
         np.random.seed(seed=random_state_seed)
-        nmf_seeds = np.random.randint(low=1, high=(2**31) - 1, size=n_runs)
+        seeds = np.random.randint(low=1, high=(2**31) - 1, size=len(ks) * n_iter)
 
-        replicate_params = []
-        for i, (k, r) in enumerate(itertools.product(k_list, range(n_iter))):
-            completed = os.path.exists(self.paths["iter_spectra"] % (k, r))
-            replicate_params.append([k, r, nmf_seeds[i], completed])
+        grid = [
+            (k, r)
+            for k in sorted(set(list(ks)))
+            for r in range(n_iter)
+        ]
         replicate_params = pd.DataFrame(
-            replicate_params,
-            columns=["n_components", "iter", "nmf_seed", "completed"],
+            {
+                "n_components": [k for k, _ in grid],
+                "iter": [r for _, r in grid],
+                "nmf_seed": seeds[: len(grid)],
+                "completed": [
+                    os.path.exists(self.paths["iter_spectra"] % kr) for kr in grid
+                ],
+            }
         )
 
         n_completed = replicate_params["completed"].sum()
         if n_completed > 0:
-            message = (
+            warnings.warn(
                 "{n} runs already appear completed. If this is unexpected, "
                 "consider re-initializing the cnmf object with a different "
-                "run name or output directory".format(n=n_completed)
+                "run name or output directory".format(n=n_completed),
+                UserWarning,
             )
-            warnings.warn(message, UserWarning)
 
-        _nmf_kwargs = dict(
+        run_params = dict(
             alpha_W=alpha_usage,
             alpha_H=alpha_spectra,
             l1_ratio=0.0,
             beta_loss=beta_loss,
-            solver="mu",
+            # CD is faster than MU but frobenius-only (reference cnmf.py:629-631)
+            solver="cd" if beta_loss == "frobenius" else "mu",
             tol=1e-4,
             max_iter=max_iter,
             init=init,
         )
-        # CD is faster than MU but frobenius-only (reference cnmf.py:629-631)
-        if beta_loss == "frobenius":
-            _nmf_kwargs["solver"] = "cd"
-        return replicate_params, _nmf_kwargs
+        return replicate_params, run_params
 
     def update_nmf_iter_params(self):
-        """Re-scan disk for completed per-iteration spectra files
-        (reference cnmf.py:636-651)."""
-        _nmf_kwargs = yaml.load(
+        """Re-scan disk for completed per-iteration spectra files and rewrite
+        the replicate table — the resume/elasticity hook (reference
+        cnmf.py:636-651)."""
+        run_params = yaml.load(
             open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
         )
-        replicate_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
-        for i in replicate_params.index:
-            exists = os.path.exists(
-                self.paths["iter_spectra"]
-                % (replicate_params.at[i, "n_components"], replicate_params.at[i, "iter"])
+        table = load_df_from_npz(self.paths["nmf_replicate_parameters"])
+        table["completed"] = [
+            os.path.exists(self.paths["iter_spectra"] % (row.n_components, row.iter))
+            for row in table.itertuples()
+        ]
+        print(
+            "{n} NMF runs are currently incomplete".format(
+                n=int((~table["completed"].astype(bool)).sum())
             )
-            replicate_params.at[i, "completed"] = exists
-        remaining = (replicate_params["completed"] == False).sum()  # noqa: E712
-        print("{n} NMF runs are currently incomplete".format(n=remaining))
-        self.save_nmf_iter_params(replicate_params, _nmf_kwargs)
+        )
+        self.save_nmf_iter_params(table, run_params)
 
     def save_nmf_iter_params(self, replicate_params, run_params):
         self._initialize_dirs()
@@ -1064,28 +1069,27 @@ class cNMF:
 
     def build_reference(self, k, density_threshold=DEFAULT_DENSITY_THRESHOLD,
                         target_sum=1e6):
-        """starCAT reference GEPs: txt-round-tripped TPM spectra, renormalized
-        to target_sum, var-normalized, HVG-subset (reference cnmf.py:1085-1116)."""
-        density_threshold_repl = str(density_threshold).replace(".", "_")
-        tpmfn = self.paths["gene_spectra_tpm__txt"] % (k, density_threshold_repl)
-        spectra_tpm = pd.read_csv(tpmfn, index_col=0, sep="\t")
+        """starCAT reference GEPs for (k, dt): rows renormalized to
+        ``target_sum``, divided by the per-gene TPM std, subset to the HVGs,
+        indexed ``GEP{i}``.
+
+        Contract quirk kept (reference cnmf.py:1085-1116): the TPM spectra
+        reload from the TEXT file, not the npz, so the float round-trip
+        through the txt formatting is part of the output."""
+        dt_tag = str(density_threshold).replace(".", "_")
+        geps = pd.read_csv(
+            self.paths["gene_spectra_tpm__txt"] % (k, dt_tag), index_col=0, sep="\t"
+        )
+        gene_std = load_df_from_npz(self.paths["tpm_stats"])["__std"]
+        gene_std.index = geps.columns
         hvgs = open(self.paths["nmf_genes_list"]).read().split("\n")
 
-        tpm_stats = load_df_from_npz(self.paths["tpm_stats"])
-        tpm_stats.index = spectra_tpm.columns
-
-        spectra_tpm_renorm = spectra_tpm.div(spectra_tpm.sum(axis=1), axis=0) * target_sum
-        spectra_tpm_varnorm = spectra_tpm_renorm.div(tpm_stats["__std"])
-
-        ref_spectra = spectra_tpm_varnorm[hvgs].copy()
+        geps = geps.div(geps.sum(axis=1), axis=0) * target_sum
+        ref_spectra = geps.div(gene_std)[hvgs].copy()
         ref_spectra.index = "GEP" + ref_spectra.index.astype("str")
 
-        save_df_to_npz(
-            ref_spectra, self.paths["starcat_spectra"] % (k, density_threshold_repl)
-        )
-        save_df_to_text(
-            ref_spectra, self.paths["starcat_spectra__txt"] % (k, density_threshold_repl)
-        )
+        save_df_to_npz(ref_spectra, self.paths["starcat_spectra"] % (k, dt_tag))
+        save_df_to_text(ref_spectra, self.paths["starcat_spectra__txt"] % (k, dt_tag))
 
     # ==================================================================
     # k selection
@@ -1163,15 +1167,21 @@ class cNMF:
     # ==================================================================
 
     def load_results(self, K, density_threshold, n_top_genes=100, norm_usage=True):
-        """Load usages + spectra scores/tpm and top marker genes per GEP
-        (reference cnmf.py:1161-1210)."""
-        dt_repl = str(density_threshold).replace(".", "_")
-        scorefn = self.paths["gene_spectra_score__txt"] % (K, dt_repl)
-        tpmfn = self.paths["gene_spectra_tpm__txt"] % (K, dt_repl)
-        usagefn = self.paths["consensus_usages__txt"] % (K, dt_repl)
-        spectra_scores = pd.read_csv(scorefn, sep="\t", index_col=0).T
-        spectra_tpm = pd.read_csv(tpmfn, sep="\t", index_col=0).T
-        usage = pd.read_csv(usagefn, sep="\t", index_col=0)
+        """Load the (K, dt) result set back from the user-facing TEXT files:
+        usages (optionally row-normalized to sum 1), spectra z-scores and TPM
+        spectra transposed to genes × GEPs, and the top ``n_top_genes``
+        marker genes per GEP ranked by z-score (reference cnmf.py:1161-1210,
+        including the int-cast-with-fallback on usage columns)."""
+        dt_tag = str(density_threshold).replace(".", "_")
+
+        def read_t(key):
+            return pd.read_csv(
+                self.paths[key] % (K, dt_tag), sep="\t", index_col=0
+            )
+
+        spectra_scores = read_t("gene_spectra_score__txt").T
+        spectra_tpm = read_t("gene_spectra_tpm__txt").T
+        usage = read_t("consensus_usages__txt")
 
         if norm_usage:
             usage = usage.div(usage.sum(axis=1), axis=0)
@@ -1180,10 +1190,11 @@ class cNMF:
         except Exception:
             print("Usage matrix columns include non integer values")
 
-        top_genes = []
-        for gep in spectra_scores.columns:
-            top_genes.append(
-                list(spectra_scores.sort_values(by=gep, ascending=False).index[:n_top_genes])
-            )
-        top_genes = pd.DataFrame(top_genes, index=spectra_scores.columns).T
+        top_genes = pd.DataFrame(
+            {
+                gep: spectra_scores[gep].sort_values(ascending=False)
+                     .index[:n_top_genes]
+                for gep in spectra_scores.columns
+            }
+        )
         return usage, spectra_scores, spectra_tpm, top_genes

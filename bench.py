@@ -10,7 +10,15 @@ jobs (reference cnmf.py:692-745, 823-1082).
 
 Prints ONE JSON line:
   value        = wall-clock seconds for factorize+combine+consensus
-                 (prepare and data synthesis excluded; compile included)
+                 (prepare, data synthesis and the one-time device-link setup
+                 excluded; XLA compiles included — cached across runs)
+  value_cold   = true fresh-process end-to-end: prepare + device-link setup
+                 + the three stages
+  mfu          = analytic CD FLOPs (4·N·G·K_padded per sweep per restart,
+                 the two flattened MXU matmuls) / factorize wall / the
+                 device's peak dense-matmul FLOP/s. At matmul precision
+                 'high' each logical f32 MAC costs ~3 bf16 passes, so the
+                 algorithmic-MFU ceiling is ~1/3 before memory effects.
   vs_baseline  = reference-extrapolated CPU seconds / value (speedup ×).
                  Baseline: the reference's tutorial anecdote is ~240 s for
                  120 runs on CPU (BASELINE.md) → 2 s/run × 900 runs = 1800 s.
@@ -40,6 +48,27 @@ def make_counts(n_cells, n_genes, k_true=10, seed=7):
     X = rng.poisson(W @ H + base[None, :] * 5.0).astype(np.float64)
     X[X.sum(axis=1) == 0, 0] = 1
     return X
+
+
+# peak dense-matmul throughput by device-kind substring (public spec sheets,
+# bf16 FLOP/s — the MXU's native rate; f32 'high' precision multi-passes it)
+_PEAK_FLOPS_BY_KIND = (
+    ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+    ("v6 lite", 918e12), ("v6e", 918e12), ("v4", 275e12), ("v3", 123e12),
+)
+
+
+def _device_peak_flops():
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        return None
+    kind = dev.device_kind.lower()
+    for key, peak in _PEAK_FLOPS_BY_KIND:
+        if key in kind:
+            return peak
+    return None
 
 
 def main():
@@ -94,16 +123,36 @@ def main():
         t_prepare = time.perf_counter() - t0
         log(f"[bench] prepare: {t_prepare:.2f}s")
 
-        # absorb the one-time device-link setup outside the timed region
+        # absorb the one-time device-link setup outside the warm region
+        # (varies 4-570 s through the shared relay; reported inside value_cold)
         import jax.numpy as jnp
         t0 = time.perf_counter()
         float(jnp.zeros(()))
-        log(f"[bench] device warmup: {time.perf_counter() - t0:.2f}s")
+        t_link = time.perf_counter() - t0
+        log(f"[bench] device warmup: {t_link:.2f}s")
 
         t0 = time.perf_counter()
         obj.factorize(verbose=False)
         t_factorize = time.perf_counter() - t0
         log(f"[bench] factorize ({len(ks)} K x {n_iter} restarts): {t_factorize:.2f}s")
+
+        # analytic CD FLOPs from the recorded per-K sweep counts
+        n_cells = 0
+        cd_flops = 0.0
+        try:
+            from cnmf_tpu.io.h5ad import read_h5ad
+            n_cells = read_h5ad(obj.paths["normalized_counts"]).X.shape[0]
+            for pad_k, n_iter_h in getattr(obj, "_sweep_counts", []):
+                sweeps = float(np.asarray(n_iter_h).sum())
+                cd_flops += 4.0 * n_cells * hvg * pad_k * sweeps
+        except Exception as e:
+            log(f"[bench] flops accounting skipped: {e}")
+        peak = _device_peak_flops()
+        mfu = (cd_flops / t_factorize / peak) if (peak and cd_flops) else None
+        if cd_flops:
+            log(f"[bench] factorize: {cd_flops/1e12:.1f} TFLOP analytic, "
+                f"{cd_flops/t_factorize/1e12:.1f} TFLOP/s"
+                + (f", mfu {mfu:.3f}" if mfu else ""))
 
         t0 = time.perf_counter()
         obj.combine()
@@ -125,6 +174,15 @@ def main():
             "value": round(total, 2),
             "unit": "s",
             "vs_baseline": round(baseline_s / total, 2),
+            "value_cold": round(t_prepare + t_link + total, 2),
+            "mfu": round(mfu, 4) if mfu is not None else None,
+            "stages": {
+                "prepare": round(t_prepare, 2),
+                "link_setup": round(t_link, 2),
+                "factorize": round(t_factorize, 2),
+                "combine": round(t_combine, 2),
+                "consensus": round(t_consensus, 2),
+            },
         }))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -178,7 +178,63 @@ class cNMF:
             memo[path] = (mtime_ns, size, obj, nbytes)
             self._artifact_memo_bytes = used + nbytes
 
-    def _recall_artifact(self, path):
+    # per-K spectra-stack memo: factorize already holds all restarts for a K
+    # as ONE (B, k, G) array before splitting it into per-iteration files; a
+    # same-process combine can rebuild the merged frame from it with a single
+    # reshape instead of 900 frame recalls + a concat. Validated per FILE
+    # (path + the exact stat captured at write time), so partial re-runs or
+    # out-of-band rewrites fall back to reading the files.
+    _STACK_MEMO_BYTES = int(5e8)
+
+    def _memo_spectra_stack(self, k, file_stats, spectra_batch, gene_index):
+        """file_stats: [(iter, path, (mtime_ns, size))] in batch-row order."""
+        nbytes = spectra_batch.nbytes
+        with _MEMO_LOCK:
+            memo = getattr(self, "_stack_memo", None)
+            if memo is None:
+                memo = self._stack_memo = {}
+                self._stack_memo_bytes = 0
+            prev = memo.get(k)
+            used = self._stack_memo_bytes - (prev[2].nbytes if prev else 0)
+            if used + nbytes > self._STACK_MEMO_BYTES:
+                return
+            by_iter = {
+                it: (path, stat, row) for row, (it, path, stat) in enumerate(file_stats)
+            }
+            memo[k] = (by_iter, gene_index, spectra_batch)
+            self._stack_memo_bytes = used + nbytes
+
+    def _recall_spectra_stack(self, k, files):
+        """Return (values_f64, columns) for the merged stack iff the memo
+        covers EXACTLY the requested (iter, path) list and every file on disk
+        still carries the stat captured at write time; else None."""
+        with _MEMO_LOCK:
+            memo = getattr(self, "_stack_memo", None)
+            entry = memo.get(k) if memo else None
+        if entry is None:
+            return None
+        by_iter, gene_index, batch = entry
+        if len(files) != len(by_iter):
+            return None
+        rows = []
+        for it, path in files:
+            hit = by_iter.get(it)
+            if hit is None or hit[0] != path:
+                return None
+            try:
+                st = os.stat(path)
+            except OSError:
+                return None
+            if (st.st_mtime_ns, st.st_size) != hit[1]:
+                return None
+            rows.append(hit[2])
+        values = batch[rows].reshape(-1, batch.shape[2]).astype(np.float64)
+        return values, gene_index
+
+    def _recall_artifact(self, path, copy=True):
+        """``copy=False`` skips the defensive copy — only for internal
+        consumers that treat the recalled object as read-only (900 spectra
+        copies cost real wall time in combine)."""
         with _MEMO_LOCK:
             memo = getattr(self, "_artifact_memo", None)
             if not memo or path not in memo:
@@ -193,7 +249,7 @@ class cNMF:
                 del memo[path]
                 self._artifact_memo_bytes -= nbytes
                 return None
-        return obj.copy()
+        return obj.copy() if copy else obj
 
     # HBM per chip by device-kind substring; used to size the "keep the
     # full-gene TPM resident on device" threshold when the runtime doesn't
@@ -483,6 +539,10 @@ class cNMF:
         # rather than on the first spectra fetch
         float(jnp.zeros(()))
 
+        # per-K (padded_k, n_iter_handle) records — bench.py derives analytic
+        # CD FLOPs (4·N·G·K per sweep per restart) from these
+        self._sweep_counts = []
+
         # threaded native CSR->dense with fused dtype cast (cnmf_tpu.native)
         X = densify_csr(norm_counts.X, out_dtype=self.compute_dtype)
         X = np.ascontiguousarray(X)
@@ -538,8 +598,10 @@ class cNMF:
                     path = self.paths["iter_spectra"] % (k, it)
                     st = save_df_to_npz(spectra, path)
                     self._memo_artifact(path, spectra, spectra.values.nbytes, stat=st)
+                    return int(it), path, st
 
-                list(pool.map(write_one, enumerate(iters)))
+                stats = list(pool.map(write_one, enumerate(iters)))
+                self._memo_spectra_stack(k, stats, spectra_batch, gene_index)
 
             for k, group in sub.groupby("n_components", sort=True):
                 k = int(k)
@@ -633,6 +695,8 @@ class cNMF:
                 )
             if trace:
                 jax.block_until_ready(n_iter)
+            if hasattr(self, "_sweep_counts"):
+                self._sweep_counts.append((pad_k, n_iter))
             _t2 = _time.perf_counter()
             if not fetch:
                 # in restart-chunked (atlas) mode, sync-fetch per chunk so at
@@ -697,6 +761,8 @@ class cNMF:
 
     @timed("combine")
     def combine(self, components=None, skip_missing_files=False):
+        from concurrent.futures import ThreadPoolExecutor
+
         if type(components) is int:
             ks = [components]
         elif components is None:
@@ -704,8 +770,13 @@ class cNMF:
             ks = sorted(set(run_params.n_components))
         else:
             ks = components
-        for k in ks:
-            self.combine_nmf(k, skip_missing_files=skip_missing_files)
+        # K values are independent (disjoint input/output files); the work is
+        # memo recalls + npz IO, which threads overlap well
+        with ThreadPoolExecutor(max_workers=min(8, max(len(ks), 1))) as pool:
+            list(pool.map(
+                lambda k: self.combine_nmf(k, skip_missing_files=skip_missing_files),
+                ks,
+            ))
 
     def combine_nmf(self, k, skip_missing_files=False,
                     remove_individual_iterations=False):
@@ -739,26 +810,43 @@ class cNMF:
             print("No spectra found for k=%d" % k)
             return []
 
-        def read_one(f):
-            hit = self._recall_artifact(f[1])
-            return hit if hit is not None else load_df_from_npz(f[1])
+        # fast path: a same-process factorize left this K's whole restart
+        # batch as one array — one reshape instead of reading/recalling
+        # every per-iteration frame (each file's stat is still validated)
+        stack = self._recall_spectra_stack(k, files)
+        if os.environ.get("CNMF_TPU_TIMINGS", "0") == "1":
+            import sys
+            print(f"[cnmf-tpu timing] combine k={k}: stack memo "
+                  f"{'hit' if stack is not None else 'MISS'}",
+                  file=sys.stderr, flush=True)
+        if stack is not None:
+            values, columns = stack
+        else:
+            def read_one(f):
+                # read-only consumer: values are concatenated immediately
+                hit = self._recall_artifact(f[1], copy=False)
+                return hit if hit is not None else load_df_from_npz(f[1])
 
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            frames = list(pool.map(read_one, files))
-        values = np.concatenate([f.values for f in frames], axis=0)
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                frames = list(pool.map(read_one, files))
+            values = np.concatenate([f.values for f in frames], axis=0)
+            columns = frames[0].columns
         index = [
             "iter%d_topic%d" % (it, t + 1) for (it, _) in files for t in range(k)
         ]
-        combined_spectra = pd.DataFrame(
-            values, index=index, columns=frames[0].columns
-        )
+        # copy=False: `values` is freshly built either way and only escapes
+        # through this frame (the memo below stores its own copy)
+        combined_spectra = pd.DataFrame(values, index=index, columns=columns,
+                                        copy=False)
         merged_path = self.paths["merged_spectra"] % k
         st = save_df_to_npz(combined_spectra, merged_path)
-        # memoize a private copy: the live frame escapes to the caller below,
-        # and a caller mutating it must not corrupt what consensus /
-        # k_selection_plot later recall from the memo
+        # memoize a copy-on-write slice: the live frame escapes to the caller
+        # below, and a caller mutating it must not corrupt what consensus /
+        # k_selection_plot later recall. Under pandas CoW the [:] slice
+        # shares data until either side writes (and .values is read-only),
+        # so this is a deep copy's safety at a view's cost.
         self._memo_artifact(
-            merged_path, combined_spectra.copy(), values.nbytes, stat=st
+            merged_path, combined_spectra[:], values.nbytes, stat=st
         )
         if remove_individual_iterations:
             # the reference accepts this kwarg without acting on it
@@ -820,7 +908,9 @@ class cNMF:
         """Consensus spectra/usages via density filtering + KMeans + medians
         (reference cnmf.py:823-1082), with the distance matrix, KNN density,
         KMeans, silhouette, NNLS refits and z-score OLS on device."""
-        merged_spectra = self._recall_artifact(self.paths["merged_spectra"] % k)
+        merged_spectra = self._recall_artifact(
+            self.paths["merged_spectra"] % k, copy=False  # read-only below
+        )
         if merged_spectra is None:
             merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
         if norm_counts is None:
@@ -1140,7 +1230,9 @@ class cNMF:
         )
         pending = []
         for k in sorted(set(run_params.n_components)):
-            merged_spectra = self._recall_artifact(self.paths["merged_spectra"] % k)
+            merged_spectra = self._recall_artifact(
+                self.paths["merged_spectra"] % k, copy=False  # read-only
+            )
             if merged_spectra is None:
                 merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
             norms = np.sqrt((merged_spectra.values ** 2).sum(axis=1))

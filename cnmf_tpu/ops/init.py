@@ -15,6 +15,7 @@ batched variants stack per-seed factors along a leading restart axis.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -49,6 +50,59 @@ def random_init_batch(
         Ws.append(W)
         Hts.append(np.ascontiguousarray(H.T))
     return np.stack(Ws), np.stack(Hts)
+
+
+def random_init_batch_device(
+    x_mean: float, n_samples: int, n_features: int, n_components: int,
+    seeds, pad_k: int = None, dtype=np.float32,
+):
+    """Device-resident batched random init: ``avg·|N(0,1)|`` per restart from
+    a threefry key folded from that restart's table seed.
+
+    The host path (random_init_batch) generates ~30 MB of noise per K and
+    ships it over the host↔device link — at the measured ~32 MB/s relay
+    upload rate that dominates factorize wall time. Here only the seed
+    vector crosses the link and the TPU generates the noise itself.
+
+    Determinism: fully reproducible from the replicate table's per-(K, iter)
+    seeds, order-stable and worker-count-independent — same grid-determinism
+    contract as the host path (SURVEY §2.10, which sanctions JAX PRNG keys
+    in place of bit-identical sklearn streams). The DRAW differs from
+    numpy's, so factorize outputs differ from a host-init run by one random
+    sample; consensus statistics are equivalent. Opt out with
+    CNMF_TPU_DEVICE_INIT=0 for sklearn-bit-identical spectra.
+
+    Returns device arrays W0 (B, N, pad_k), Ht0 (B, G, pad_k) with
+    components beyond ``n_components`` zeroed (the exact-no-op K bucketing).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pad_k = pad_k or n_components
+    avg = np.dtype(dtype).type(np.sqrt(x_mean / n_components))
+
+    @functools.partial(
+        jax.jit, static_argnames=("n", "g", "k", "pad_k", "dt")
+    )
+    def gen(seed_arr, avg_arr, *, n, g, k, pad_k, dt):
+        def one(seed):
+            key = jax.random.PRNGKey(seed)
+            kh, kw = jax.random.split(key)
+            Ht = jnp.abs(avg_arr * jax.random.normal(kh, (g, k), dtype=dt))
+            W = jnp.abs(avg_arr * jax.random.normal(kw, (n, k), dtype=dt))
+            if pad_k > k:
+                W = jnp.pad(W, ((0, 0), (0, pad_k - k)))
+                Ht = jnp.pad(Ht, ((0, 0), (0, pad_k - k)))
+            return W, Ht
+
+        return jax.vmap(one)(seed_arr)
+
+    seeds = jnp.asarray(np.asarray(seeds, dtype=np.uint32))
+    return gen(
+        seeds, jnp.asarray(avg, dtype=dtype),
+        n=n_samples, g=n_features, k=n_components, pad_k=pad_k,
+        dt=jnp.dtype(dtype),
+    )
 
 
 def nndsvd_init(X, n_components: int, eps: float = 1e-6, dtype=np.float32,

@@ -113,6 +113,7 @@ def _fused_k_stats(
         W, _, _ = nmf_coordinate_descent(
             Xnc, W0, Ht0, tol=refit_tol, max_iter=refit_max_iter,
             update_H=False, l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
+            use_pallas=use_pallas,
         )
     else:
         n_elem = (n_cells * Xnc.shape[1]).astype(Xnc.dtype)

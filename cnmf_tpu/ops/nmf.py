@@ -133,6 +133,8 @@ def nmf_coordinate_descent(
     l1_reg_H: float = 0.0,
     l2_reg_W: float = 0.0,
     l2_reg_H: float = 0.0,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched frobenius NMF via cyclic coordinate descent.
 
@@ -141,6 +143,9 @@ def nmf_coordinate_descent(
     X : (N, G) shared data matrix.
     W0 : (B, N, K) initial usages per restart.
     Ht0 : (B, G, K) initial transposed spectra per restart.
+    use_pallas : run the fused half-sweep TPU kernels (ops/pallas_cd.py) —
+        caller gates on backend/dtype/shape via
+        pipeline.solvers.cd_pallas_eligible.
 
     Returns
     -------
@@ -158,6 +163,7 @@ def nmf_coordinate_descent(
         seg_len=max_iter, tol=tol, update_H=update_H,
         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
         l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+        use_pallas=use_pallas, interpret=interpret,
     )
     return W, Ht, n_iter
 
@@ -166,7 +172,7 @@ def nmf_coordinate_descent(
     jax.jit,
     static_argnames=(
         "seg_len", "tol", "update_H", "l1_reg_W", "l1_reg_H",
-        "l2_reg_W", "l2_reg_H",
+        "l2_reg_W", "l2_reg_H", "use_pallas", "interpret",
     ),
 )
 def nmf_cd_segment(
@@ -174,6 +180,7 @@ def nmf_cd_segment(
     seg_len: int, tol: float = 1e-4, update_H: bool = True,
     l1_reg_W: float = 0.0, l1_reg_H: float = 0.0,
     l2_reg_W: float = 0.0, l2_reg_H: float = 0.0,
+    use_pallas: bool = False, interpret: bool = False,
 ):
     """Run up to ``seg_len`` CD sweeps from a resumable state.
 
@@ -181,8 +188,55 @@ def nmf_cd_segment(
     (violation_init, per-restart sweep counts, done mask) is carried in and
     out so a host wrapper can compact away converged restarts between
     segments. ``it0`` is the global sweep offset (sweep 0 defines
-    violation_init)."""
+    violation_init).
+
+    With ``use_pallas`` the two half-sweeps run as the fused VMEM-resident
+    kernels of ops/pallas_cd.py (f32, single-device); the factors carry the
+    kernels' row/column zero-padding across the while loop (an exact no-op —
+    padded rows start at 0 and stay 0) and are sliced back at the end."""
     dtype = W.dtype
+    N, G = X.shape
+
+    if use_pallas:
+        from cnmf_tpu.ops.pallas_cd import (
+            cd_h_half_sweep,
+            cd_w_half_sweep,
+            plan_tiles,
+        )
+
+        tile_n, tile_g, Np, Gp = plan_tiles(N, G)
+        X = jnp.pad(X, ((0, Np - N), (0, Gp - G)))
+        W = jnp.pad(W, ((0, 0), (0, Np - N), (0, 0)))
+        Ht = jnp.pad(Ht, ((0, 0), (0, Gp - G), (0, 0)))
+
+    def half_sweeps(W, Ht):
+        if use_pallas:
+            W_new, viol_w = cd_w_half_sweep(
+                X, W, Ht, tile_n=tile_n,
+                l1_reg=l1_reg_W, l2_reg=l2_reg_W, interpret=interpret,
+            )
+            if update_H:
+                Ht_new, viol_h = cd_h_half_sweep(
+                    X, W_new, Ht, tile_g=tile_g,
+                    l1_reg=l1_reg_H, l2_reg=l2_reg_H, interpret=interpret,
+                )
+            else:
+                Ht_new, viol_h = Ht, jnp.zeros_like(viol_w)
+            return W_new, Ht_new, viol_w + viol_h
+
+        HHt = jnp.einsum("bgk,bgl->bkl", Ht, Ht, preferred_element_type=dtype,
+                         precision=MATMUL_PRECISION)
+        XHt = _shared_x_dot(X, Ht)
+        W_new, viol_w = _cd_half_sweep(W, HHt, XHt, l1_reg_W, l2_reg_W)
+        if update_H:
+            WtW = jnp.einsum("bnk,bnl->bkl", W_new, W_new,
+                             preferred_element_type=dtype,
+                             precision=MATMUL_PRECISION)
+            XtW = _shared_xt_dot(X, W_new)
+            Ht_new, viol_h = _cd_half_sweep(Ht, WtW, XtW, l1_reg_H, l2_reg_H)
+        else:
+            Ht_new, viol_h = Ht, jnp.zeros_like(viol_w)
+        return W_new, Ht_new, viol_w + viol_h
 
     def cond(state):
         j, done, *_ = state
@@ -192,21 +246,8 @@ def nmf_cd_segment(
         j, done, W, Ht, violation_init, n_iter = state
         git = it0 + j
 
-        HHt = jnp.einsum("bgk,bgl->bkl", Ht, Ht, preferred_element_type=dtype,
-                         precision=MATMUL_PRECISION)
-        XHt = _shared_x_dot(X, Ht)
-        W_new, viol_w = _cd_half_sweep(W, HHt, XHt, l1_reg_W, l2_reg_W)
-
-        if update_H:
-            WtW = jnp.einsum("bnk,bnl->bkl", W_new, W_new,
-                             preferred_element_type=dtype,
-                             precision=MATMUL_PRECISION)
-            XtW = _shared_xt_dot(X, W_new)
-            Ht_new, viol_h = _cd_half_sweep(Ht, WtW, XtW, l1_reg_H, l2_reg_H)
-        else:
-            Ht_new, viol_h = Ht, jnp.zeros_like(viol_w)
-
-        violation = viol_w + viol_h
+        W_new, Ht_new, violation = half_sweeps(W, Ht)
+        violation = violation.astype(dtype)
         violation_init = jnp.where(git == 0, violation, violation_init)
 
         keep = jnp.logical_not(done)
@@ -223,6 +264,9 @@ def nmf_cd_segment(
 
     state0 = (jnp.zeros((), jnp.int32), done, W, Ht, violation_init, n_iter)
     _, done, W, Ht, violation_init, n_iter = jax.lax.while_loop(cond, body, state0)
+    if use_pallas:
+        W = W[:, :N]
+        Ht = Ht[:, :G]
     return W, Ht, violation_init, n_iter, done
 
 

@@ -42,7 +42,11 @@ from cnmf_tpu.io.h5ad import read_h5ad, write_h5ad
 from cnmf_tpu.io.loaders import load_counts
 from cnmf_tpu.native import densify_csr
 from cnmf_tpu.ops.distance import local_density_from_spectra, pairwise_euclidean
-from cnmf_tpu.ops.init import nndsvd_init, random_init_batch
+from cnmf_tpu.ops.init import (
+    nndsvd_init,
+    random_init_batch,
+    random_init_batch_device,
+)
 from cnmf_tpu.ops.kmeans import kmeans_fit
 from cnmf_tpu.ops.normalize import normalize_total, scale_unit_variance
 from cnmf_tpu.ops.ols import efficient_ols_all_cols
@@ -54,6 +58,7 @@ from cnmf_tpu.utils.timing import timed
 from cnmf_tpu.ops.kstats import consensus_k_stats
 from cnmf_tpu.pipeline.solvers import (
     beta_loss_to_float,
+    cd_pallas_eligible,
     compute_regularization,
     mu_pallas_eligible,
     refit_usages,
@@ -652,11 +657,30 @@ class cNMF:
             restart_chunk = max(1, int(4e9 / max(per_restart, 1)))
         chunk = min(restart_chunk, B)
 
+        multi_device = use_mesh and len(jax.devices()) > 1
+        # On the TPU backend, generate the random init ON DEVICE from the
+        # replicate seeds (ops/init.py random_init_batch_device): the host
+        # path ships ~30 MB of noise per K over a link measured at ~32 MB/s.
+        # The multi-device mesh path keeps host init (its padding/sharding
+        # helpers take host arrays).
+        device_init = (
+            init == "random"
+            and not multi_device
+            and jax.default_backend() == "tpu"
+            and os.environ.get("CNMF_TPU_DEVICE_INIT", "1") == "1"
+        )
+        x_mean = float(np.mean(X_host, dtype=np.float64)) if device_init else None
+
         out = []
         for start in range(0, B, chunk):
             _t0 = _time.perf_counter()
             chunk_seeds = seeds[start:start + chunk]
-            if init == "random":
+            if device_init:
+                W0, Ht0 = random_init_batch_device(
+                    x_mean, X_host.shape[0], X_host.shape[1], k,
+                    chunk_seeds, pad_k=pad_k, dtype=dtype,
+                )
+            elif init == "random":
                 W0, Ht0 = random_init_batch(X_host, k, chunk_seeds, dtype=dtype)
             elif init in ("nndsvd", "nndsvda", "nndsvdar"):
                 W_s, H_s = nndsvd_init(X_host, k, dtype=dtype, variant=init)
@@ -667,13 +691,13 @@ class cNMF:
             else:
                 raise ValueError(f"unsupported init: {init}")
 
-            if pad_k > k:
+            if not device_init and pad_k > k:
                 W0 = np.pad(W0, ((0, 0), (0, 0), (0, pad_k - k)))
                 Ht0 = np.pad(Ht0, ((0, 0), (0, 0), (0, pad_k - k)))
 
             _t1 = _time.perf_counter()
             mesh = None
-            if use_mesh and len(jax.devices()) > 1:
+            if multi_device:
                 mesh = build_mesh()
                 # beta != 2 solves run under shard_map over the restart axis
                 # so the fused Pallas MU kernels stay usable per shard;
@@ -908,6 +932,15 @@ class cNMF:
         """Consensus spectra/usages via density filtering + KMeans + medians
         (reference cnmf.py:823-1082), with the distance matrix, KNN density,
         KMeans, silhouette, NNLS refits and z-score OLS on device."""
+        import time as _time
+
+        _trace = os.environ.get("CNMF_TPU_TIMINGS", "0") == "1"
+        _marks = [("start", _time.perf_counter())]
+
+        def _mark(label):
+            if _trace:
+                _marks.append((label, _time.perf_counter()))
+
         merged_spectra = self._recall_artifact(
             self.paths["merged_spectra"] % k, copy=False  # read-only below
         )
@@ -962,6 +995,7 @@ class cNMF:
             )
             save_df_to_npz(local_density, self.paths["local_density_cache"] % k)
 
+        _mark("density")
         density_filter = local_density.iloc[:, 0] < density_threshold
         l2_spectra = l2_spectra.loc[density_filter, :]
         if l2_spectra.shape[0] == 0:
@@ -976,6 +1010,7 @@ class cNMF:
             n_init=10, random_state=1,
         )
         kmeans_cluster_labels = pd.Series(labels + 1, index=l2_spectra.index)
+        _mark("kmeans")
 
         # per-cluster median spectra, renormalized to row-sum 1
         median_spectra = l2_spectra.groupby(kmeans_cluster_labels).median()
@@ -984,6 +1019,7 @@ class cNMF:
         # one device copy of norm counts, shared by the refits — and cached
         # across repeated consensus calls on the same preloaded object
         # (reference cnmf.py:1124-1130)
+        _mark("medians")
         n_cells = norm_counts.X.shape[0]
         norm_counts_dev = self._device_cached(
             "_norm_counts_dev_cache", norm_counts,
@@ -997,6 +1033,7 @@ class cNMF:
             rf_usages, index=norm_counts.obs.index, columns=median_spectra.index,
         )
 
+        _mark("refit_usages")
         # Re-order usage by total contribution (reference cnmf.py:938-946)
         norm_usages = rf_usages.div(rf_usages.sum(axis=1), axis=0)
         reorder = norm_usages.sum(axis=0).sort_values(ascending=False)
@@ -1022,6 +1059,7 @@ class cNMF:
         else:
             tpm_src = tpm.X
 
+        _mark("tpm_upload")
         if tpm_on_device:
             spectra_tpm_vals = refit_usages(
                 tpm_src.T, norm_usages.values.T.astype(self.compute_dtype),
@@ -1051,6 +1089,7 @@ class cNMF:
                     )
                 )
             spectra_tpm_vals = np.concatenate(parts, axis=0).T
+        _mark("refit_spectra_tpm")
         spectra_tpm = pd.DataFrame(
             spectra_tpm_vals, index=rf_usages.columns, columns=tpm.var.index
         )
@@ -1061,6 +1100,7 @@ class cNMF:
         usage_coef = efficient_ols_all_cols(
             rf_usages.values, tpm_src, normalize_y=True, dtype=self.compute_dtype
         )
+        _mark("ols")
         usage_coef = pd.DataFrame(
             usage_coef, index=rf_usages.columns, columns=tpm.var.index
         )
@@ -1110,6 +1150,7 @@ class cNMF:
                 columns=spectra_tpm_rf.index,
             )
 
+        _mark("final_refit")
         # the eight result files are independent — write them concurrently
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1134,6 +1175,7 @@ class cNMF:
         with ThreadPoolExecutor(max_workers=8) as pool:
             list(pool.map(lambda w: w[0](w[1], w[2]), writes))
 
+        _mark("writes")
         if show_clustering:
             topics_dist = np.asarray(
                 pairwise_euclidean(
@@ -1152,6 +1194,15 @@ class cNMF:
 
         if build_ref:
             self.build_reference(k, density_threshold)
+        _mark("plots+ref")
+        if _trace:
+            import sys
+            parts = " ".join(
+                f"{lbl} {t1 - t0:.2f}s"
+                for (_, t0), (lbl, t1) in zip(_marks, _marks[1:])
+            )
+            print(f"[cnmf-tpu timing] consensus k={k}: {parts}",
+                  file=sys.stderr, flush=True)
 
     # ==================================================================
     # starCAT reference
@@ -1189,6 +1240,7 @@ class cNMF:
         """Dispatch the fused K-stats device program (ops/kstats.py) for one
         K; returns unsynchronized device scalars (silhouette, sse) so a
         K sweep can enqueue every program before fetching any result."""
+        _mark("medians")
         n_cells = norm_counts.X.shape[0]
         norm_counts_dev = self._device_cached(
             "_norm_counts_dev_cache", norm_counts,
@@ -1211,7 +1263,13 @@ class cNMF:
             refit_tol=float(nmf_kwargs.get("tol", 1e-4)),
             refit_max_iter=int(nmf_kwargs.get("max_iter", 200)),
             l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
-            use_pallas=mu_pallas_eligible(beta, self.compute_dtype),
+            use_pallas=(
+                mu_pallas_eligible(beta, self.compute_dtype)
+                if nmf_kwargs.get("solver", "cd") == "mu"
+                else cd_pallas_eligible(
+                    (n_cells, norm_counts_dev.shape[1]), self.compute_dtype
+                )
+            ),
             n_cells=n_cells,
         )
 

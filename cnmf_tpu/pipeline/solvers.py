@@ -58,6 +58,27 @@ def mu_pallas_eligible(beta: float, dtype) -> bool:
     )
 
 
+def cd_pallas_eligible(shape, dtype) -> bool:
+    """Whether the fused Pallas CD half-sweep kernels (ops/pallas_cd.py)
+    apply. OPT-IN (CNMF_TPU_PALLAS_CD=1): measured 5x SLOWER than the XLA
+    CD path on the current relay-attached v5e (4.07s vs 0.74s for the
+    K=16-bucket 200-sweep batch) — the (tile × restart) grid is
+    latency-bound and the XLA solver is already transfer-bound, not
+    HBM-bound, at PBMC scale. Kept for re-evaluation on directly-attached
+    chips. Also requires: TPU backend, f32, single device (pallas_call has
+    no GSPMD partitioning rule), and a data matrix whose H-kernel X
+    column-tile — which carries the full row dimension — fits VMEM."""
+    n_rows, n_cols = shape
+    return (
+        os.environ.get("CNMF_TPU_PALLAS_CD", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and jax.device_count() == 1
+        and n_rows <= 16384
+        and n_cols <= 16384
+    )
+
+
 def solve_nmf_batch(
     X: jax.Array,
     W0: jax.Array,
@@ -98,6 +119,10 @@ def solve_nmf_batch(
             X, W0, Ht0, tol=tol, max_iter=max_iter, update_H=update_H,
             l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
             l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+            use_pallas=(
+                allow_pallas
+                and cd_pallas_eligible(X.shape, jnp.asarray(W0).dtype)
+            ),
         )
     # Fused Pallas kernels keep the N×G reconstruction in VMEM for the
     # beta != 2 losses on TPU (the XLA path materializes it in HBM chunk by

@@ -1004,151 +1004,212 @@ class cNMF:
                 "Consider increasing density threshold"
             )
 
-        # KMeans on device (10 restarts batched; reference cnmf.py:908-910)
-        labels, _, _ = kmeans_fit(
-            l2_spectra.values.astype(self.compute_dtype), n_clusters=k,
-            n_init=10, random_state=1,
-        )
-        kmeans_cluster_labels = pd.Series(labels + 1, index=l2_spectra.index)
-        _mark("kmeans")
-
-        # per-cluster median spectra, renormalized to row-sum 1
-        median_spectra = l2_spectra.groupby(kmeans_cluster_labels).median()
-        median_spectra = (median_spectra.T / median_spectra.sum(axis=1)).T
-
-        # one device copy of norm counts, shared by the refits — and cached
-        # across repeated consensus calls on the same preloaded object
-        # (reference cnmf.py:1124-1130)
-        _mark("medians")
-        n_cells = norm_counts.X.shape[0]
-        norm_counts_dev = self._device_cached(
-            "_norm_counts_dev_cache", norm_counts,
-            lambda: to_device(norm_counts.X),
-        )
-        rf_usages = refit_usages(
-            norm_counts_dev, median_spectra.values, nmf_kwargs,
-            dtype=self.compute_dtype, n_rows=n_cells,
-        )
-        rf_usages = pd.DataFrame(
-            rf_usages, index=norm_counts.obs.index, columns=median_spectra.index,
-        )
-
-        _mark("refit_usages")
-        # Re-order usage by total contribution (reference cnmf.py:938-946)
-        norm_usages = rf_usages.div(rf_usages.sum(axis=1), axis=0)
-        reorder = norm_usages.sum(axis=0).sort_values(ascending=False)
-        rf_usages = rf_usages.loc[:, reorder.index]
-        norm_usages = norm_usages.loc[:, reorder.index]
-        median_spectra = median_spectra.loc[reorder.index, :]
-        rf_usages.columns = np.arange(1, rf_usages.shape[1] + 1)
-        norm_usages.columns = rf_usages.columns
-        median_spectra.index = rf_usages.columns
-
-        # TPM-unit spectra via fixed-usage NNLS over ALL genes — the full-gene
-        # TPM matrix goes to device once and is reused by the OLS and the
-        # final refit (at atlas scale fall back to the chunked host path)
+        # --------------------------------------------------------------
+        # shared inputs for both consensus execution paths
+        # --------------------------------------------------------------
         tpm = self._read_h5ad_cached(self.paths["tpm"])
         tpm_stats = load_df_from_npz(self.paths["tpm_stats"])
+        # the full-gene TPM goes to device once and is reused by the spectra
+        # refit, the OLS and the final refit (at atlas scale fall back to
+        # the chunked host path)
         tpm_on_device = (
             tpm.X.shape[0] * tpm.X.shape[1] * 4 < self._tpm_device_limit()
         )
-        if tpm_on_device:
+        n_cells = norm_counts.X.shape[0]
+        hvgs = open(self.paths["nmf_genes_list"]).read().split("\n")
+        hvg_idx = tpm.var.index.get_indexer(hvgs)
+        # the reference's sparse path guards zero stds (scanpy pp.scale),
+        # its dense path divides unguarded — preserve per input kind
+        zero_safe = sp.issparse(tpm.X)
+
+        use_fused = (
+            tpm_on_device
+            and os.environ.get("CNMF_TPU_FUSED_CONSENSUS", "1") == "1"
+        )
+        if use_fused:
+            # ONE device program from Lloyd to the final refit
+            # (ops/consensus_fused.py): the unfused path below pays a
+            # host-device synchronization between each of ~6 phases, which
+            # dominates consensus wall time on a relayed TPU
+            from cnmf_tpu.ops.consensus_fused import fused_consensus
+
+            norm_counts_dev = self._device_cached(
+                "_norm_counts_dev_cache", norm_counts,
+                lambda: to_device(norm_counts.X),
+            )
             tpm_src = self._device_cached(
                 "_tpm_dev_cache", tpm, lambda: to_device(tpm.X)
             )
-        else:
-            tpm_src = tpm.X
-
-        _mark("tpm_upload")
-        if tpm_on_device:
-            spectra_tpm_vals = refit_usages(
-                tpm_src.T, norm_usages.values.T.astype(self.compute_dtype),
-                nmf_kwargs, dtype=self.compute_dtype,
-            ).T
-        else:
-            # atlas fallback: the fixed-usage NNLS decomposes per gene, so
-            # solve in gene chunks (only a chunk × N tile densifies at a
-            # time). Deviation from the joint reference solve: the relative
-            # convergence tolerance applies per chunk rather than globally —
-            # each chunk still converges to the same NNLS optimum.
-            usage_t = np.ascontiguousarray(
-                norm_usages.values.T, dtype=self.compute_dtype
-            )
-            g_total = tpm.X.shape[1]
-            gene_chunk = max(1, int(2e9 / max(tpm.X.shape[0] * 4, 1)))
-            parts = []
-            tpm_csc = tpm.X.tocsc() if sp.issparse(tpm.X) else tpm.X
-            for gstart in range(0, g_total, gene_chunk):
-                gend = min(gstart + gene_chunk, g_total)
-                block = tpm_csc[:, gstart:gend]
-                block = block.toarray() if sp.issparse(block) else np.asarray(block)
-                parts.append(
-                    refit_usages(
-                        np.ascontiguousarray(block.T, dtype=self.compute_dtype),
-                        usage_t, nmf_kwargs, dtype=self.compute_dtype,
-                    )
+            beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+            solver = nmf_kwargs.get("solver", "cd")
+            labels, median_np, rf_init, rf_final, spectra_tpm_np, coef_np = \
+                fused_consensus(
+                    norm_counts_dev, tpm_src,
+                    l2_spectra.values.astype(self.compute_dtype), k,
+                    tpm_std=tpm_stats["__std"].values,
+                    hvg_idx=hvg_idx, n_cells=n_cells,
+                    solver=solver, beta=beta,
+                    tol=float(nmf_kwargs.get("tol", 1e-4)),
+                    max_iter=int(nmf_kwargs.get("max_iter", 200)),
+                    alpha_W=float(nmf_kwargs.get("alpha_W", 0.0)),
+                    alpha_H=nmf_kwargs.get("alpha_H", "same"),
+                    l1_ratio=float(nmf_kwargs.get("l1_ratio", 0.0)),
+                    use_pallas=(
+                        mu_pallas_eligible(beta, self.compute_dtype)
+                        if solver == "mu" else False
+                    ),
+                    refit_usage=refit_usage,
+                    normalize_tpm=normalize_tpm_spectra,
+                    zero_safe_std=zero_safe,
                 )
-            spectra_tpm_vals = np.concatenate(parts, axis=0).T
-        _mark("refit_spectra_tpm")
-        spectra_tpm = pd.DataFrame(
-            spectra_tpm_vals, index=rf_usages.columns, columns=tpm.var.index
-        )
-        if normalize_tpm_spectra:
-            spectra_tpm = spectra_tpm.div(spectra_tpm.sum(axis=1), axis=0) * 1e6
-
-        # Z-score spectra: OLS of z-scored TPM on usages (reference cnmf.py:957-959)
-        usage_coef = efficient_ols_all_cols(
-            rf_usages.values, tpm_src, normalize_y=True, dtype=self.compute_dtype
-        )
-        _mark("ols")
-        usage_coef = pd.DataFrame(
-            usage_coef, index=rf_usages.columns, columns=tpm.var.index
-        )
-
-        if refit_usage:
-            # final usage refit on std-scaled HVG TPM (reference cnmf.py:961-975)
-            hvgs = open(self.paths["nmf_genes_list"]).read().split("\n")
-            hvg_idx = tpm.var.index.get_indexer(hvgs)
-            # the reference's sparse path guards zero stds (scanpy pp.scale),
-            # its dense path divides unguarded — preserve per input kind
-            zero_safe = sp.issparse(tpm.X)
-            if tpm_on_device:
-                tpm_hvg = tpm_src[:, jnp.asarray(hvg_idx)]
-                # one-pass moments dividing by the REAL cell count — tpm_src
-                # may carry zero-padded rows (even mesh sharding), which add
-                # nothing to either column sum
-                n = n_cells
-                mean = jnp.sum(tpm_hvg, axis=0) / n
-                sq = jnp.sum(tpm_hvg * tpm_hvg, axis=0) / n
-                var = (sq - mean * mean) * n / (n - 1)
-                std = jnp.sqrt(jnp.maximum(var, 0.0))
-                if zero_safe:
-                    std = jnp.where(std == 0, 1.0, std)
-                norm_tpm_X = tpm_hvg / std
-            else:
-                norm_tpm_X = tpm[:, hvgs].X
-                if zero_safe:
-                    norm_tpm_X = scale_unit_variance(norm_tpm_X, ddof=1, zero_safe=True)
-                else:
-                    norm_tpm_X = scale_unit_variance(
-                        np.asarray(norm_tpm_X, dtype=np.float64), ddof=1,
-                        zero_safe=False,
-                    )
-            spectra_tpm_rf = spectra_tpm.loc[:, hvgs]
-            tpm_stats_idx = tpm_stats.copy()
-            tpm_stats_idx.index = tpm.var.index
-            spectra_tpm_rf = spectra_tpm_rf.div(tpm_stats_idx.loc[hvgs, "__std"], axis=1)
-            rf_usages = refit_usages(
-                norm_tpm_X if tpm_on_device else np.asarray(norm_tpm_X.todense())
-                if sp.issparse(norm_tpm_X) else np.asarray(norm_tpm_X),
-                spectra_tpm_rf.values.astype(self.compute_dtype),
-                nmf_kwargs, dtype=self.compute_dtype,
-                n_rows=n_cells if tpm_on_device else None,
+            kmeans_cluster_labels = pd.Series(labels + 1, index=l2_spectra.index)
+            gep_ids = np.arange(1, k + 1)
+            median_spectra = pd.DataFrame(
+                median_np, index=gep_ids, columns=l2_spectra.columns
             )
             rf_usages = pd.DataFrame(
-                rf_usages, index=norm_counts.obs.index,
-                columns=spectra_tpm_rf.index,
+                rf_final if refit_usage else rf_init,
+                index=norm_counts.obs.index, columns=gep_ids,
             )
+            spectra_tpm = pd.DataFrame(
+                spectra_tpm_np, index=gep_ids, columns=tpm.var.index
+            )
+            usage_coef = pd.DataFrame(
+                coef_np, index=gep_ids, columns=tpm.var.index
+            )
+            _mark("fused_consensus")
+        else:
+            # KMeans on device (10 restarts batched; reference cnmf.py:908-910)
+            labels, _, _ = kmeans_fit(
+                l2_spectra.values.astype(self.compute_dtype), n_clusters=k,
+                n_init=10, random_state=1,
+            )
+            kmeans_cluster_labels = pd.Series(labels + 1, index=l2_spectra.index)
+            _mark("kmeans")
+
+            # per-cluster median spectra, renormalized to row-sum 1
+            median_spectra = l2_spectra.groupby(kmeans_cluster_labels).median()
+            median_spectra = (median_spectra.T / median_spectra.sum(axis=1)).T
+
+            # one device copy of norm counts, shared by the refits — and cached
+            # across repeated consensus calls on the same preloaded object
+            # (reference cnmf.py:1124-1130)
+            _mark("medians")
+            norm_counts_dev = self._device_cached(
+                "_norm_counts_dev_cache", norm_counts,
+                lambda: to_device(norm_counts.X),
+            )
+            rf_usages = refit_usages(
+                norm_counts_dev, median_spectra.values, nmf_kwargs,
+                dtype=self.compute_dtype, n_rows=n_cells,
+            )
+            rf_usages = pd.DataFrame(
+                rf_usages, index=norm_counts.obs.index, columns=median_spectra.index,
+            )
+
+            _mark("refit_usages")
+            # Re-order usage by total contribution (reference cnmf.py:938-946)
+            norm_usages = rf_usages.div(rf_usages.sum(axis=1), axis=0)
+            reorder = norm_usages.sum(axis=0).sort_values(ascending=False)
+            rf_usages = rf_usages.loc[:, reorder.index]
+            norm_usages = norm_usages.loc[:, reorder.index]
+            median_spectra = median_spectra.loc[reorder.index, :]
+            rf_usages.columns = np.arange(1, rf_usages.shape[1] + 1)
+            norm_usages.columns = rf_usages.columns
+            median_spectra.index = rf_usages.columns
+
+            if tpm_on_device:
+                tpm_src = self._device_cached(
+                    "_tpm_dev_cache", tpm, lambda: to_device(tpm.X)
+                )
+            else:
+                tpm_src = tpm.X
+
+            _mark("tpm_upload")
+            if tpm_on_device:
+                spectra_tpm_vals = refit_usages(
+                    tpm_src.T, norm_usages.values.T.astype(self.compute_dtype),
+                    nmf_kwargs, dtype=self.compute_dtype,
+                ).T
+            else:
+                # atlas fallback: the fixed-usage NNLS decomposes per gene, so
+                # solve in gene chunks (only a chunk × N tile densifies at a
+                # time). Deviation from the joint reference solve: the relative
+                # convergence tolerance applies per chunk rather than globally —
+                # each chunk still converges to the same NNLS optimum.
+                usage_t = np.ascontiguousarray(
+                    norm_usages.values.T, dtype=self.compute_dtype
+                )
+                g_total = tpm.X.shape[1]
+                gene_chunk = max(1, int(2e9 / max(tpm.X.shape[0] * 4, 1)))
+                parts = []
+                tpm_csc = tpm.X.tocsc() if sp.issparse(tpm.X) else tpm.X
+                for gstart in range(0, g_total, gene_chunk):
+                    gend = min(gstart + gene_chunk, g_total)
+                    block = tpm_csc[:, gstart:gend]
+                    block = block.toarray() if sp.issparse(block) else np.asarray(block)
+                    parts.append(
+                        refit_usages(
+                            np.ascontiguousarray(block.T, dtype=self.compute_dtype),
+                            usage_t, nmf_kwargs, dtype=self.compute_dtype,
+                        )
+                    )
+                spectra_tpm_vals = np.concatenate(parts, axis=0).T
+            _mark("refit_spectra_tpm")
+            spectra_tpm = pd.DataFrame(
+                spectra_tpm_vals, index=rf_usages.columns, columns=tpm.var.index
+            )
+            if normalize_tpm_spectra:
+                spectra_tpm = spectra_tpm.div(spectra_tpm.sum(axis=1), axis=0) * 1e6
+
+            # Z-score spectra: OLS of z-scored TPM on usages (reference cnmf.py:957-959)
+            usage_coef = efficient_ols_all_cols(
+                rf_usages.values, tpm_src, normalize_y=True, dtype=self.compute_dtype
+            )
+            _mark("ols")
+            usage_coef = pd.DataFrame(
+                usage_coef, index=rf_usages.columns, columns=tpm.var.index
+            )
+
+            if refit_usage:
+                # final usage refit on std-scaled HVG TPM (reference cnmf.py:961-975)
+                if tpm_on_device:
+                    tpm_hvg = tpm_src[:, jnp.asarray(hvg_idx)]
+                    # one-pass moments dividing by the REAL cell count — tpm_src
+                    # may carry zero-padded rows (even mesh sharding), which add
+                    # nothing to either column sum
+                    n = n_cells
+                    mean = jnp.sum(tpm_hvg, axis=0) / n
+                    sq = jnp.sum(tpm_hvg * tpm_hvg, axis=0) / n
+                    var = (sq - mean * mean) * n / (n - 1)
+                    std = jnp.sqrt(jnp.maximum(var, 0.0))
+                    if zero_safe:
+                        std = jnp.where(std == 0, 1.0, std)
+                    norm_tpm_X = tpm_hvg / std
+                else:
+                    norm_tpm_X = tpm[:, hvgs].X
+                    if zero_safe:
+                        norm_tpm_X = scale_unit_variance(norm_tpm_X, ddof=1, zero_safe=True)
+                    else:
+                        norm_tpm_X = scale_unit_variance(
+                            np.asarray(norm_tpm_X, dtype=np.float64), ddof=1,
+                            zero_safe=False,
+                        )
+                spectra_tpm_rf = spectra_tpm.loc[:, hvgs]
+                tpm_stats_idx = tpm_stats.copy()
+                tpm_stats_idx.index = tpm.var.index
+                spectra_tpm_rf = spectra_tpm_rf.div(tpm_stats_idx.loc[hvgs, "__std"], axis=1)
+                rf_usages = refit_usages(
+                    norm_tpm_X if tpm_on_device else np.asarray(norm_tpm_X.todense())
+                    if sp.issparse(norm_tpm_X) else np.asarray(norm_tpm_X),
+                    spectra_tpm_rf.values.astype(self.compute_dtype),
+                    nmf_kwargs, dtype=self.compute_dtype,
+                    n_rows=n_cells if tpm_on_device else None,
+                )
+                rf_usages = pd.DataFrame(
+                    rf_usages, index=norm_counts.obs.index,
+                    columns=spectra_tpm_rf.index,
+                )
 
         _mark("final_refit")
         # the eight result files are independent — write them concurrently
@@ -1240,7 +1301,6 @@ class cNMF:
         """Dispatch the fused K-stats device program (ops/kstats.py) for one
         K; returns unsynchronized device scalars (silhouette, sse) so a
         K sweep can enqueue every program before fetching any result."""
-        _mark("medians")
         n_cells = norm_counts.X.shape[0]
         norm_counts_dev = self._device_cached(
             "_norm_counts_dev_cache", norm_counts,

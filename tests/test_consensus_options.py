@@ -67,6 +67,31 @@ def test_consensus_stats_records_threshold(run):
     assert float(stats.loc["prediction_error"].iloc[0]) > 0
 
 
+def test_fused_matches_unfused_consensus(run, monkeypatch, tmp_path):
+    """The single-program fused consensus and the step-by-step path must
+    produce the same artifacts (f64, tight tolerance) — every consensus
+    file plus the clustergram-facing labels."""
+    artifacts = ["consensus_spectra", "consensus_usages",
+                 "gene_spectra_tpm", "gene_spectra_score"]
+    results = {}
+    for mode, flag in [("fused", "1"), ("unfused", "0")]:
+        monkeypatch.setenv("CNMF_TPU_FUSED_CONSENSUS", flag)
+        obj = cNMF(output_dir=run.output_dir, name="copts",
+                   compute_dtype=np.float64)
+        obj.consensus(k=5, density_threshold=1.7, show_clustering=False,
+                      build_ref=False)
+        results[mode] = {
+            key: load_df_from_npz(obj.paths[key] % (5, "1_7"))
+            for key in artifacts
+        }
+    for key in artifacts:
+        a, b = results["fused"][key], results["unfused"][key]
+        assert list(a.index) == list(b.index), key
+        scale = max(float(np.abs(b.values).max()), 1e-12)
+        np.testing.assert_allclose(a.values, b.values, rtol=1e-6,
+                                   atol=1e-8 * scale, err_msg=key)
+
+
 def test_atlas_host_fallback_matches_device_path(run):
     """Forcing the >4GB-TPM host fallback (gene-chunked NNLS + row-batched
     OLS) must reproduce the device path's artifacts."""

@@ -279,3 +279,35 @@ def test_fused_k_stats_mu_solver():
     ))
     assert abs(float(sil) - sil_u) < 1e-10
     assert abs(float(sse) - sse_u) / sse_u < 1e-8
+
+
+def test_random_init_batch_device_properties():
+    """Device-side batched init (the TPU fast path, ops/init.py): right
+    shapes/dtype, zeroed K-bucket pad columns, the sklearn avg scale, and
+    bitwise determinism from the seed vector (order-stable, independent of
+    how the batch is split across calls — the worker-determinism contract)."""
+    import numpy as _np
+
+    from cnmf_tpu.ops.init import random_init_batch_device
+
+    n, g, k, pad_k = 60, 40, 5, 8
+    x_mean = 2.5
+    seeds = _np.array([11, 7, 12345, 7], dtype=_np.int64)
+    W0, Ht0 = random_init_batch_device(x_mean, n, g, k, seeds, pad_k=pad_k,
+                                       dtype=_np.float32)
+    W0, Ht0 = _np.asarray(W0), _np.asarray(Ht0)
+    assert W0.shape == (4, n, pad_k) and Ht0.shape == (4, g, pad_k)
+    assert W0.dtype == _np.float32
+    assert not W0[:, :, k:].any() and not Ht0[:, :, k:].any()
+    assert (W0[:, :, :k] >= 0).all() and (Ht0[:, :, :k] >= 0).all()
+    # avg*|N(0,1)|: mean ~ avg*sqrt(2/pi)
+    avg = _np.sqrt(x_mean / k)
+    assert abs(W0[:, :, :k].mean() / (avg * _np.sqrt(2 / _np.pi)) - 1) < 0.1
+    # same seed -> same draw, regardless of batch position
+    _np.testing.assert_array_equal(W0[1], W0[3])
+    # splitting the batch reproduces the same per-seed factors
+    W0b, _ = random_init_batch_device(x_mean, n, g, k, seeds[2:3],
+                                      pad_k=pad_k, dtype=_np.float32)
+    _np.testing.assert_array_equal(_np.asarray(W0b)[0], W0[2])
+    # different seeds -> different draws
+    assert not _np.array_equal(W0[0], W0[1])

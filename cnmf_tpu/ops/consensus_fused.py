@@ -67,7 +67,7 @@ def _mu_w0(X, n_real_rows, n_real_cols, k_real, n_rows_total, pad_k, dtype):
     static_argnames=(
         "n_cluster_pad", "lloyd_max_iter", "solver", "beta", "tol",
         "max_iter", "mu_chunk", "use_pallas", "n_cells", "n_hvgs",
-        "alpha_W", "alpha_H", "l1_ratio", "refit_usage", "normalize_tpm",
+        "alpha_W", "l1_ratio", "refit_usage", "normalize_tpm",
         "zero_safe_std",
     ),
 )
@@ -93,7 +93,6 @@ def _fused_consensus(
     n_cells: int,          # real cell count (static: shapes pin the program)
     n_hvgs: int,
     alpha_W: float,
-    alpha_H: float,
     l1_ratio: float,
     refit_usage: bool,
     normalize_tpm: bool,
@@ -106,9 +105,8 @@ def _fused_consensus(
     Kp = n_cluster_pad
 
     def w_regs(n_features):
-        # sklearn reg scaling for the W side (solvers.compute_regularization)
-        a_h = alpha_W if alpha_H is None else alpha_H
-        del a_h  # H never updates in the refits
+        # sklearn reg scaling for the W side (solvers.compute_regularization);
+        # the H side never updates in these fixed-spectra refits
         return (
             float(n_features) * alpha_W * l1_ratio,
             float(n_features) * alpha_W * (1.0 - l1_ratio),
@@ -240,7 +238,6 @@ def fused_consensus(
     tol: float = 1e-4,
     max_iter: int = 200,
     alpha_W: float = 0.0,
-    alpha_H=None,
     l1_ratio: float = 0.0,
     mu_chunk: int = 8,
     use_pallas: bool = False,
@@ -276,9 +273,6 @@ def fused_consensus(
     c0 = np.full((n_init, Kp, X.shape[1]), _PAD_SENTINEL, dtype=X.dtype)
     c0[:, :k] = centers0
 
-    alpha_H_val = alpha_W if (alpha_H is None or alpha_H == "same") \
-        else float(alpha_H)
-
     labels, median_n, rf, spectra_tpm, XtX, XtY, final_usages = \
         _fused_consensus(
             Xnc, tpm, jnp.asarray(Xpad), jnp.asarray(c0),
@@ -291,7 +285,7 @@ def fused_consensus(
             max_iter=int(max_iter), mu_chunk=mu_chunk,
             use_pallas=use_pallas, n_cells=int(n_cells),
             n_hvgs=int(len(hvg_idx)), alpha_W=float(alpha_W),
-            alpha_H=alpha_H_val, l1_ratio=float(l1_ratio),
+            l1_ratio=float(l1_ratio),
             refit_usage=bool(refit_usage), normalize_tpm=bool(normalize_tpm),
             zero_safe_std=bool(zero_safe_std),
         )

@@ -1052,7 +1052,6 @@ class cNMF:
                     tol=float(nmf_kwargs.get("tol", 1e-4)),
                     max_iter=int(nmf_kwargs.get("max_iter", 200)),
                     alpha_W=float(nmf_kwargs.get("alpha_W", 0.0)),
-                    alpha_H=nmf_kwargs.get("alpha_H", "same"),
                     l1_ratio=float(nmf_kwargs.get("l1_ratio", 0.0)),
                     use_pallas=(
                         mu_pallas_eligible(beta, self.compute_dtype)

@@ -228,6 +228,17 @@ def _read_mapping(group: h5py.Group) -> dict:
     return out
 
 
+def read_h5ad_shape(filename: str) -> tuple:
+    """X's (n_obs, n_vars) without reading any data — sized prefetch /
+    chunking decisions shouldn't cost a multi-GB load."""
+    with h5py.File(filename, "r") as f:
+        node = f["X"]
+        if isinstance(node, h5py.Group):
+            key = "shape" if "shape" in node.attrs else "h5sparse_shape"
+            return tuple(int(s) for s in np.asarray(node.attrs[key]).ravel())
+        return tuple(int(s) for s in node.shape)
+
+
 def read_h5ad(filename: str) -> AnnData:
     with h5py.File(filename, "r") as f:
         X = _read_x(f["X"])

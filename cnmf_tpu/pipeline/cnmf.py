@@ -73,6 +73,10 @@ import threading
 # and instances stay picklable for the multiprocessing shim)
 _MEMO_LOCK = threading.Lock()
 
+# guards the h5ad read cache: the TPM prefetch thread (factorize) and the
+# main thread (consensus) may populate it concurrently
+_H5AD_LOCK = threading.Lock()
+
 # the consensus/k_selection default density threshold (reference cnmf.py:823,
 # 1127-1130) — shared so the sweep's stats rows can't drift from the
 # consensus signature
@@ -146,6 +150,7 @@ class cNMF:
     def clear_device_caches(self):
         """Drop cached device buffers (norm counts / TPM) and cached h5ad
         objects — frees HBM between pipeline stages."""
+        self._join_tpm_prefetch()  # an in-flight upload would repopulate
         for attr in ("_norm_counts_dev_cache", "_tpm_dev_cache", "_h5ad_cache"):
             if hasattr(self, attr):
                 delattr(self, attr)
@@ -289,17 +294,78 @@ class cNMF:
     def _read_h5ad_cached(self, path):
         """mtime-invalidated single-entry-per-path h5ad cache — a consensus
         sweep over many K values re-reads the same norm_counts / tpm files
-        (the full-gene tpm is hundreds of MB)."""
-        cache = getattr(self, "_h5ad_cache", None)
-        if cache is None:
-            cache = self._h5ad_cache = {}
-        mtime = os.path.getmtime(path)
-        hit = cache.get(path)
-        if hit is not None and hit[0] == mtime:
-            return hit[1]
+        (the full-gene tpm is hundreds of MB). Thread-safe: the TPM prefetch
+        thread and the main thread may both populate it."""
+        with _H5AD_LOCK:
+            cache = getattr(self, "_h5ad_cache", None)
+            if cache is None:
+                cache = self._h5ad_cache = {}
+            mtime = os.path.getmtime(path)
+            hit = cache.get(path)
+            if hit is not None and hit[0] == mtime:
+                return hit[1]
         adata = read_h5ad(path)
-        cache[path] = (mtime, adata)
+        with _H5AD_LOCK:
+            cache[path] = (mtime, adata)
         return adata
+
+    def _prefetch_tpm_async(self):
+        """Warm the consensus-stage device TPM cache while factorize owns the
+        wall clock.
+
+        The full-gene TPM upload (~100 MB at PBMC scale; the relay link moves
+        ~32 MB/s host→device, CLAUDE.md) otherwise lands in the middle of the
+        first same-process consensus call. jax transfers are asynchronous, so
+        dispatching the device_put from a daemon thread here overlaps both
+        the h5ad read/densify AND the transfer with the factorize solver
+        programs. Stage-per-process CLI runs get no benefit and skip nothing:
+        consensus joins the thread (``_join_tpm_prefetch``) and falls back to
+        its own upload when no prefetch ran. Disable with
+        ``CNMF_TPU_PREFETCH_TPM=0``."""
+        if os.environ.get("CNMF_TPU_PREFETCH_TPM", "1") != "1":
+            return
+        tpm_path = self.paths["tpm"]
+        if not os.path.isfile(tpm_path):
+            return
+        prev = getattr(self, "_tpm_prefetch_thread", None)
+        if prev is not None and prev.is_alive():
+            return  # an upload is already in flight
+
+        # size gate BEFORE spawning: at atlas scale the dense TPM exceeds the
+        # device budget and the thread would read a multi-GB h5ad for nothing
+        try:
+            from cnmf_tpu.io.h5ad import read_h5ad_shape
+            n, g = read_h5ad_shape(tpm_path)
+        except Exception:
+            return
+        if n * g * self.compute_dtype.itemsize >= self._tpm_device_limit():
+            return
+
+        def run():
+            try:
+                tpm = self._read_h5ad_cached(tpm_path)
+                self._device_cached(
+                    "_tpm_dev_cache", tpm,
+                    lambda: self._put_cells(
+                        densify_csr(tpm.X, out_dtype=self.compute_dtype)
+                    ),
+                )
+            except Exception as exc:  # never fail factorize for a warm cache
+                if os.environ.get("CNMF_TPU_TIMINGS", "0") == "1":
+                    import sys
+                    print(f"[cnmf-tpu timing] tpm prefetch skipped: {exc}",
+                          file=sys.stderr, flush=True)
+
+        thread = threading.Thread(target=run, name="cnmf-tpu-tpm-prefetch",
+                                  daemon=True)
+        self._tpm_prefetch_thread = thread
+        thread.start()
+
+    def _join_tpm_prefetch(self):
+        thread = getattr(self, "_tpm_prefetch_thread", None)
+        if thread is not None:
+            thread.join()
+            self._tpm_prefetch_thread = None
 
     # ==================================================================
     # prepare
@@ -559,6 +625,11 @@ class cNMF:
         # not this replicated one)
         if X.nbytes < 2e9 and len(jax.devices()) == 1:
             self._device_cached("_norm_counts_dev_cache", norm_counts, lambda: Xd)
+
+        # warm the consensus-stage device TPM behind the solver programs
+        # (the thread's h5ad read delays its device_put past Xd's transfer,
+        # so the first solve never queues behind the big upload)
+        self._prefetch_tpm_async()
 
         gene_index = norm_counts.var.index
         sub = run_params.iloc[jobs]
@@ -1007,6 +1078,9 @@ class cNMF:
         # --------------------------------------------------------------
         # shared inputs for both consensus execution paths
         # --------------------------------------------------------------
+        # a factorize-launched TPM prefetch may still be uploading; wait for
+        # it rather than racing it to the device cache
+        self._join_tpm_prefetch()
         tpm = self._read_h5ad_cached(self.paths["tpm"])
         tpm_stats = load_df_from_npz(self.paths["tpm_stats"])
         # the full-gene TPM goes to device once and is reused by the spectra

@@ -1,0 +1,94 @@
+"""Sparse host→device transfer: ship CSR components, densify on device.
+
+The pipeline's device programs all want a dense cells × genes matrix in HBM,
+but at atlas scale the dense form is an order of magnitude larger than the
+CSR it came from (the 100k×20k validation config is 8 GB dense vs ~0.85 GB
+as data+indices at ~5% fill). Through a host→device link measured at
+~32 MB/s (CLAUDE.md relay numbers) — and on any real machine where PCIe/DCN
+feeding the chip is the data-loading bottleneck — transferring the sparse
+triplet and expanding it on device turns a ~250 s upload into a ~30 s one.
+
+The expansion itself is one scatter-add into a zero matrix: row ids are
+recovered from ``indptr`` with a vectorized ``searchsorted`` (no host-side
+row-index materialization, which would itself be nnz×4 bytes), and the nnz
+axis is padded to a bucket so repeated uploads of similarly sized matrices
+reuse one compiled program. Padded entries carry ``data == 0`` aimed at
+(0, 0) — an exact no-op under scatter-ADD. Canonical CSR has no duplicate
+coordinates, so the scatter touches every real element exactly once and the
+result is bit-identical to a host-side densify of the same cast data.
+
+Replaces nothing in the reference (it never moves data to an accelerator);
+this is the TPU-native answer to its in-memory scipy CSR handling
+(reference cnmf.py:19-20, 405-406).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+# nnz padding granularity: big enough that one compiled program covers a
+# family of similarly-sized matrices, small enough that the padded transfer
+# overhead stays <3% for anything atlas-sized
+_NNZ_BUCKET = 1 << 22
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_cols"))
+def _scatter_csr(data, cols, indptr, n_rows: int, n_cols: int):
+    nnz = data.shape[0]
+    # position i belongs to the row r with indptr[r] <= i < indptr[r+1];
+    # padded positions (i >= indptr[-1]) land past the last row and are
+    # dropped by the scatter (their data is 0 regardless)
+    rows = (
+        jnp.searchsorted(indptr, jnp.arange(nnz, dtype=jnp.int32), side="right")
+        - 1
+    )
+    dense = jnp.zeros((n_rows, n_cols), dtype=data.dtype)
+    return dense.at[rows, cols].add(data, mode="drop")
+
+
+def device_densify_eligible(X, out_dtype, n_devices: int = 1) -> bool:
+    """True when shipping ``X`` sparse and scattering on device beats the
+    dense upload: sparse input, a lone accelerator device (the sharded
+    consensus path wants host-padded cell shards), indices in int32 range,
+    and the CSR bytes actually under the dense bytes."""
+    if not sp.issparse(X):
+        return False
+    if os.environ.get("CNMF_TPU_DEVICE_DENSIFY", "1") != "1":
+        return False
+    if n_devices != 1 or jax.default_backend() not in ("tpu",):
+        return False
+    if X.nnz >= 2**31 - _NNZ_BUCKET or max(X.shape) >= 2**31:
+        return False
+    sparse_bytes = X.nnz * (np.dtype(out_dtype).itemsize + 4)
+    dense_bytes = X.shape[0] * X.shape[1] * np.dtype(out_dtype).itemsize
+    return sparse_bytes < 0.5 * dense_bytes
+
+
+def device_densify_csr(X, out_dtype=np.float32):
+    """Dense device array from a scipy sparse matrix, transferring only the
+    CSR components. Exactly equals ``jnp.asarray(X.toarray().astype(...))``
+    (same element placement, no summation: canonical CSR has one entry per
+    coordinate)."""
+    Xc = X.tocsr() if not sp.isspmatrix_csr(X) else X
+    if not Xc.has_canonical_format:
+        Xc = Xc.copy()
+        Xc.sum_duplicates()
+    nnz = Xc.nnz
+    pad = (-nnz) % _NNZ_BUCKET
+    data = Xc.data.astype(out_dtype, copy=False)
+    cols = Xc.indices.astype(np.int32, copy=False)
+    if pad:
+        data = np.concatenate([data, np.zeros(pad, dtype=data.dtype)])
+        cols = np.concatenate([cols, np.zeros(pad, dtype=np.int32)])
+    indptr = Xc.indptr.astype(np.int32, copy=False)
+    return _scatter_csr(
+        jnp.asarray(data), jnp.asarray(cols), jnp.asarray(indptr),
+        int(Xc.shape[0]), int(Xc.shape[1]),
+    )

@@ -147,6 +147,22 @@ class cNMF:
             return put_cells(arr)
         return jnp.asarray(arr)
 
+    def _to_device_dense(self, Xm):
+        """Dense device buffer of a host counts/TPM matrix. Sparse inputs
+        ride the link as CSR components and densify on device when that's a
+        byte win (ops/device_densify — ~10× fewer transferred bytes at
+        atlas fill rates); everything else takes the host densify +
+        (sharded) upload path."""
+        from cnmf_tpu.ops.device_densify import (
+            device_densify_csr,
+            device_densify_eligible,
+        )
+
+        n_dev = len(jax.devices()) if getattr(self, "shard_cells", True) else 1
+        if device_densify_eligible(Xm, self.compute_dtype, n_devices=n_dev):
+            return device_densify_csr(Xm, out_dtype=self.compute_dtype)
+        return self._put_cells(densify_csr(Xm, out_dtype=self.compute_dtype))
+
     def clear_device_caches(self):
         """Drop cached device buffers (norm counts / TPM) and cached h5ad
         objects — frees HBM between pipeline stages."""
@@ -346,9 +362,7 @@ class cNMF:
                 tpm = self._read_h5ad_cached(tpm_path)
                 self._device_cached(
                     "_tpm_dev_cache", tpm,
-                    lambda: self._put_cells(
-                        densify_csr(tpm.X, out_dtype=self.compute_dtype)
-                    ),
+                    lambda: self._to_device_dense(tpm.X),
                 )
             except Exception as exc:  # never fail factorize for a warm cache
                 if os.environ.get("CNMF_TPU_TIMINGS", "0") == "1":
@@ -614,16 +628,32 @@ class cNMF:
         # CD FLOPs (4·N·G·K per sweep per restart) from these
         self._sweep_counts = []
 
-        # threaded native CSR->dense with fused dtype cast (cnmf_tpu.native)
-        X = densify_csr(norm_counts.X, out_dtype=self.compute_dtype)
-        X = np.ascontiguousarray(X)
-        Xd = jnp.asarray(X)
+        from cnmf_tpu.ops.device_densify import device_densify_eligible
+
+        if device_densify_eligible(
+            norm_counts.X, self.compute_dtype, n_devices=len(jax.devices())
+        ):
+            # ship the CSR components and densify on device (~10× fewer
+            # bytes over the link at atlas fill rates); the host keeps the
+            # sparse form — every init path is sparse-aware, so no host
+            # dense copy is ever materialized
+            X = norm_counts.X
+            Xd = self._to_device_dense(X)
+            dense_bytes = (
+                X.shape[0] * X.shape[1] * self.compute_dtype.itemsize
+            )
+        else:
+            # threaded native CSR->dense with fused dtype cast (cnmf_tpu.native)
+            X = densify_csr(norm_counts.X, out_dtype=self.compute_dtype)
+            X = np.ascontiguousarray(X)
+            Xd = jnp.asarray(X)
+            dense_bytes = X.nbytes
         # seed the consensus-stage cache: a same-process consensus /
         # k_selection sweep reuses this device buffer instead of paying the
         # densify + upload again (skipped at atlas scale to not pin HBM, and
         # on multi-device hosts where consensus wants a cell-SHARDED buffer,
         # not this replicated one)
-        if X.nbytes < 2e9 and len(jax.devices()) == 1:
+        if dense_bytes < 2e9 and len(jax.devices()) == 1:
             self._device_cached("_norm_counts_dev_cache", norm_counts, lambda: Xd)
 
         # warm the consensus-stage device TPM behind the solver programs
@@ -740,7 +770,16 @@ class cNMF:
             and jax.default_backend() == "tpu"
             and os.environ.get("CNMF_TPU_DEVICE_INIT", "1") == "1"
         )
-        x_mean = float(np.mean(X_host, dtype=np.float64)) if device_init else None
+        x_mean = None
+        if device_init:
+            if sp.issparse(X_host):
+                # same cast-then-accumulate order as the dense branch (whose
+                # X_host was already cast to compute_dtype by densify_csr)
+                x_mean = float(
+                    np.sum(X_host.data.astype(dtype), dtype=np.float64)
+                ) / (X_host.shape[0] * X_host.shape[1])
+            else:
+                x_mean = float(np.mean(X_host, dtype=np.float64))
 
         out = []
         for start in range(0, B, chunk):
@@ -1037,8 +1076,7 @@ class cNMF:
             open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
         )
 
-        def to_device(Xm):
-            return self._put_cells(densify_csr(Xm, out_dtype=self.compute_dtype))
+        to_device = self._to_device_dense
 
         if skip_density_and_return_after_stats:
             # fused stats program: Lloyd → medians → NNLS → silhouette → SSE
@@ -1377,9 +1415,7 @@ class cNMF:
         n_cells = norm_counts.X.shape[0]
         norm_counts_dev = self._device_cached(
             "_norm_counts_dev_cache", norm_counts,
-            lambda: self._put_cells(
-                densify_csr(norm_counts.X, out_dtype=self.compute_dtype)
-            ),
+            lambda: self._to_device_dense(norm_counts.X),
         )
         beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
         l1_reg_W, _, l2_reg_W, _ = compute_regularization(

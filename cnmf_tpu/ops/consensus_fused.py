@@ -29,18 +29,31 @@ from cnmf_tpu.ops.kmeans import _kmeans_plusplus, _lloyd_batched, _PAD_SENTINEL
 from cnmf_tpu.ops.kstats import _cluster_medians
 from cnmf_tpu.ops.nmf import (
     MATMUL_PRECISION,
-    nmf_coordinate_descent,
+    _shared_x_dot,
     nmf_multiplicative_update,
+    nnls_cd_from_products,
 )
 
 
 def _nnls(X, Ht0, W0, *, solver, beta, tol, max_iter, l1_reg, l2_reg,
           mu_chunk, use_pallas):
-    """Fixed-spectra NNLS usage refit on device arrays (batch of 1)."""
+    """Fixed-spectra NNLS usage refit on device arrays (batch of 1).
+
+    The CD branch runs from precomputed gram/products
+    (nnls_cd_from_products): with the spectra fixed, HHt and XHt are
+    loop-invariant, so the full solver's per-sweep O(M·G·K) contractions
+    collapse to one-time products + O(M·K²) half-sweeps — same sweeps, same
+    stopping, same factors."""
     if solver == "cd":
-        W, _, _ = nmf_coordinate_descent(
-            X, W0, Ht0, tol=tol, max_iter=max_iter, update_H=False,
-            l1_reg_W=l1_reg, l2_reg_W=l2_reg,
+        dtype = X.dtype
+        gram = jnp.einsum(
+            "bgk,bgl->bkl", Ht0, Ht0, preferred_element_type=dtype,
+            precision=MATMUL_PRECISION,
+        )
+        P = _shared_x_dot(X, Ht0)
+        W, _ = nnls_cd_from_products(
+            gram, P, W0, tol=tol, max_iter=max_iter,
+            l1_reg=l1_reg, l2_reg=l2_reg,
         )
     else:
         W, _, _ = nmf_multiplicative_update(
@@ -49,6 +62,35 @@ def _nnls(X, Ht0, W0, *, solver, beta, tol, max_iter, l1_reg, l2_reg,
             chunk=mu_chunk, use_pallas=use_pallas,
         )
     return W[0]
+
+
+def _masked_col_sumsq_blocked(X, mean, rowmask, block: int = 2048):
+    """Σ_rows (x − mean_col)² per column with padded rows masked out,
+    accumulated in column blocks of ``block`` (one (N, block) temp at a time
+    instead of a full (N, G) centered copy). The remainder columns run as
+    one statically-shaped extra slice so no block ever reads out of bounds."""
+    G = X.shape[1]
+
+    def one(start, width):
+        blk = jax.lax.dynamic_slice_in_dim(X, start, width, axis=1)
+        m = jax.lax.dynamic_slice_in_dim(mean, start, width, axis=0)
+        c = jnp.where(rowmask, blk - m[None, :], 0.0)
+        return jnp.sum(jnp.square(c), axis=0)
+
+    n_full = G // block
+    parts = []
+    if n_full:
+        starts = jnp.arange(n_full) * block
+
+        def body(carry, start):
+            return carry, one(start, block)
+
+        _, stacked = jax.lax.scan(body, 0, starts)
+        parts.append(stacked.reshape(n_full * block))
+    rem = G - n_full * block
+    if rem:
+        parts.append(one(n_full * block, rem))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 def _mu_w0(X, n_real_rows, n_real_cols, k_real, n_rows_total, pad_k, dtype):
@@ -158,15 +200,36 @@ def _fused_consensus(
         )
     else:
         usages_t = usages_t[:, :tpm.shape[0], :]
-    tpm_t = jnp.transpose(tpm)
     if solver == "cd":
+        # transpose-FREE: the CD refit only consumes the usage gram and the
+        # product tpmᵀ·U, both computable by contraction over the cell axis —
+        # no (Gall, Nt) copy of the TPM ever exists in HBM (at the 100k×20k
+        # atlas config the materialized transpose alone is 8 GB and OOMs the
+        # chip alongside the resident TPM)
         Wt0 = jnp.zeros((1, Gall, Kp), dtype)
+        gram_u = jnp.einsum(
+            "bnk,bnl->bkl", usages_t, usages_t,
+            preferred_element_type=dtype, precision=MATMUL_PRECISION,
+        )
+        # (Kp, Gall) product then transpose the SMALL result — an
+        # 'ng,nk->gk' einsum invites XLA to transpose the huge lhs instead
+        P_t = jnp.transpose(jnp.dot(
+            usages_t[0].T, tpm,
+            preferred_element_type=dtype, precision=MATMUL_PRECISION,
+        ))[None]
+        spectra_tpm, _ = nnls_cd_from_products(
+            gram_u, P_t, Wt0, tol=tol, max_iter=max_iter,
+            l1_reg=l1_t, l2_reg=l2_t,
+        )
+        spectra_tpm = spectra_tpm[0]                       # (Gall, Kp)
     else:
+        tpm_t = jnp.transpose(tpm)
         Wt0 = _mu_w0(tpm_t, Gall, n_cells, n_clusters.astype(dtype),
                      Gall, Kp, dtype)
-    spectra_tpm = _nnls(tpm_t, usages_t, Wt0, solver=solver, beta=beta,
-                        tol=tol, max_iter=max_iter, l1_reg=l1_t, l2_reg=l2_t,
-                        mu_chunk=mu_chunk, use_pallas=use_pallas)  # (Gall, Kp)
+        spectra_tpm = _nnls(tpm_t, usages_t, Wt0, solver=solver, beta=beta,
+                            tol=tol, max_iter=max_iter, l1_reg=l1_t,
+                            l2_reg=l2_t, mu_chunk=mu_chunk,
+                            use_pallas=use_pallas)         # (Gall, Kp)
     spectra_tpm = jnp.transpose(spectra_tpm)               # (Kp, Gall)
     if normalize_tpm:
         ssum = jnp.sum(spectra_tpm, axis=1, keepdims=True)
@@ -176,11 +239,13 @@ def _fused_consensus(
 
     # ---- z-score OLS grams (cnmf.py:55-125, 957-959) -------------------
     # two-pass masked column moments (one-pass cancels catastrophically in
-    # f32 for high-mean TPM columns); the (k×k) lstsq runs on host
+    # f32 for high-mean TPM columns), accumulated over COLUMN BLOCKS so the
+    # centered intermediate never materializes at (Nt, Gall) — at the
+    # 100k×20k atlas config that temp is 8 GB and evicts the program from
+    # HBM next to the resident TPM. The (k×k) lstsq runs on host.
     cellmask = (jnp.arange(tpm.shape[0]) < n_cells)[:, None]
     mean = jnp.sum(tpm, axis=0) / n_cells
-    centered = jnp.where(cellmask, tpm - mean[None, :], 0.0)
-    var = jnp.sum(jnp.square(centered), axis=0) / n_cells
+    var = _masked_col_sumsq_blocked(tpm, mean, cellmask) / n_cells
     inv_std = 1.0 / jnp.sqrt(jnp.maximum(var, 1e-12))
     U = rf
     if U.shape[0] < tpm.shape[0]:

@@ -38,6 +38,14 @@ import jax.numpy as jnp
 # overhead stays <3% for anything atlas-sized
 _NNZ_BUCKET = 1 << 22
 
+# above this, the scatter runs in nnz blocks against a DONATED accumulator:
+# the one-shot program's live set (dense output + data/cols/iota/row-ids +
+# the scatter's combined index tuples, ~6 × nnz × 4 B) plus an 8 GB dense
+# no longer fits HBM at atlas scale (measured RESOURCE_EXHAUSTED at 242M nnz
+# on a 16 GB v5e; the blocked form peaks at dense + ~6 × block × 4 B)
+_SINGLE_SHOT_MAX_NNZ = 1 << 26
+_BLOCK_NNZ = 1 << 25
+
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "n_cols"))
 def _scatter_csr(data, cols, indptr, n_rows: int, n_cols: int):
@@ -50,7 +58,24 @@ def _scatter_csr(data, cols, indptr, n_rows: int, n_cols: int):
         - 1
     )
     dense = jnp.zeros((n_rows, n_cols), dtype=data.dtype)
-    return dense.at[rows, cols].add(data, mode="drop")
+    # canonical CSR → (row, col) pairs are row-major sorted; the zero-data
+    # pad tail repeats (n_rows, 0), which keeps the order non-decreasing
+    return dense.at[rows, cols].add(
+        data, mode="drop", indices_are_sorted=True
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_csr_block(dense, data, cols, indptr, i0):
+    """Scatter one nnz block into the donated accumulator. ``i0`` is the
+    block's global nnz offset; row ids come from the FULL indptr, so blocks
+    need not align to row boundaries. Padded positions (global index past
+    indptr[-1]) resolve past the last row and are dropped (data 0 anyway)."""
+    i = jnp.arange(data.shape[0], dtype=jnp.int32) + i0
+    rows = jnp.searchsorted(indptr, i, side="right") - 1
+    return dense.at[rows, cols].add(
+        data, mode="drop", indices_are_sorted=True
+    )
 
 
 def device_densify_eligible(X, out_dtype, n_devices: int = 1) -> bool:
@@ -81,14 +106,34 @@ def device_densify_csr(X, out_dtype=np.float32):
         Xc = Xc.copy()
         Xc.sum_duplicates()
     nnz = Xc.nnz
-    pad = (-nnz) % _NNZ_BUCKET
     data = Xc.data.astype(out_dtype, copy=False)
     cols = Xc.indices.astype(np.int32, copy=False)
-    if pad:
-        data = np.concatenate([data, np.zeros(pad, dtype=data.dtype)])
-        cols = np.concatenate([cols, np.zeros(pad, dtype=np.int32)])
     indptr = Xc.indptr.astype(np.int32, copy=False)
-    return _scatter_csr(
-        jnp.asarray(data), jnp.asarray(cols), jnp.asarray(indptr),
-        int(Xc.shape[0]), int(Xc.shape[1]),
-    )
+
+    if nnz <= _SINGLE_SHOT_MAX_NNZ:
+        pad = (-nnz) % _NNZ_BUCKET
+        if pad:
+            data = np.concatenate([data, np.zeros(pad, dtype=data.dtype)])
+            cols = np.concatenate([cols, np.zeros(pad, dtype=np.int32)])
+        return _scatter_csr(
+            jnp.asarray(data), jnp.asarray(cols), jnp.asarray(indptr),
+            int(Xc.shape[0]), int(Xc.shape[1]),
+        )
+
+    # atlas path: stream nnz blocks into a donated accumulator so the peak
+    # live set is the dense output plus ONE block's transfer/index temps
+    dense = jnp.zeros(Xc.shape, dtype=out_dtype)
+    indptr_d = jnp.asarray(indptr)
+    for start in range(0, nnz, _BLOCK_NNZ):
+        stop = min(start + _BLOCK_NNZ, nnz)
+        d_blk = data[start:stop]
+        c_blk = cols[start:stop]
+        if stop - start < _BLOCK_NNZ:
+            pad = _BLOCK_NNZ - (stop - start)
+            d_blk = np.concatenate([d_blk, np.zeros(pad, dtype=d_blk.dtype)])
+            c_blk = np.concatenate([c_blk, np.zeros(pad, dtype=np.int32)])
+        dense = _scatter_csr_block(
+            dense, jnp.asarray(d_blk), jnp.asarray(c_blk), indptr_d,
+            jnp.asarray(start, jnp.int32),
+        )
+    return dense

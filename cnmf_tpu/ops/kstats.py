@@ -26,8 +26,11 @@ import numpy as np
 
 from cnmf_tpu.ops.kmeans import _kmeans_plusplus, _lloyd_batched, _PAD_SENTINEL
 from cnmf_tpu.ops.nmf import (
+    MATMUL_PRECISION,
+    _shared_x_dot,
     nmf_coordinate_descent,
     nmf_multiplicative_update,
+    nnls_cd_from_products,
     reconstruction_sse,
 )
 from cnmf_tpu.ops.silhouette import _silhouette_padded
@@ -110,11 +113,25 @@ def _fused_k_stats(
     Ht0 = jnp.transpose(median_n)[None].astype(Xnc.dtype)
     if solver == "cd":
         W0 = jnp.zeros((1, N, n_cluster_pad), Xnc.dtype)
-        W, _, _ = nmf_coordinate_descent(
-            Xnc, W0, Ht0, tol=refit_tol, max_iter=refit_max_iter,
-            update_H=False, l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
-            use_pallas=use_pallas,
-        )
+        if use_pallas:
+            W, _, _ = nmf_coordinate_descent(
+                Xnc, W0, Ht0, tol=refit_tol, max_iter=refit_max_iter,
+                update_H=False, l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
+                use_pallas=True,
+            )
+        else:
+            # fixed spectra → loop-invariant products; the per-sweep
+            # O(N·G·K) contractions of the full solver collapse to one-time
+            # grams (exact same sweeps/factors, see nnls_cd_from_products)
+            gram = jnp.einsum(
+                "bgk,bgl->bkl", Ht0, Ht0,
+                preferred_element_type=Xnc.dtype, precision=MATMUL_PRECISION,
+            )
+            P = _shared_x_dot(Xnc, Ht0)
+            W, _ = nnls_cd_from_products(
+                gram, P, W0, tol=refit_tol, max_iter=refit_max_iter,
+                l1_reg=l1_reg_W, l2_reg=l2_reg_W,
+            )
     else:
         n_elem = (n_cells * Xnc.shape[1]).astype(Xnc.dtype)
         avg = jnp.sqrt(jnp.sum(Xnc) / n_elem / n_clusters.astype(Xnc.dtype))

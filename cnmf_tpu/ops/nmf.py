@@ -170,6 +170,64 @@ def nmf_coordinate_descent(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("tol", "max_iter", "l1_reg", "l2_reg"),
+)
+def nnls_cd_from_products(
+    gram: jax.Array,
+    P: jax.Array,
+    W0: jax.Array,
+    *,
+    tol: float = 1e-4,
+    max_iter: int = 200,
+    l1_reg: float = 0.0,
+    l2_reg: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fixed-factor CD NNLS from loop-invariant products.
+
+    Solves ``min_{W>=0} ||X - W·Hfix||`` given only ``gram = Hfix·Hfixᵀ``
+    (B,K,K) and ``P = X·Hfixᵀ`` (B,M,K) — the ``update_H=False`` loop of
+    nmf_cd_segment distilled to its invariants. Because H never changes,
+    every sweep of the full solver recomputes identical HHt/XHt values; this
+    entry computes them never and X itself is never touched, so refits of a
+    *transposed* data matrix (the consensus TPM-spectra step, reference
+    cnmf.py:948-955 via 805-820) need no materialized transpose in HBM, and
+    per-sweep cost drops from O(M·G·K) to the O(M·K²) half-sweep itself.
+
+    Identical sweep and stopping semantics to the full solver: sweep 0
+    defines ``violation_init``; a restart freezes when
+    ``violation / violation_init <= tol``. Returns (W, n_iter)."""
+    dtype = W0.dtype
+    B = W0.shape[0]
+
+    def cond(state):
+        j, done, *_ = state
+        return jnp.logical_and(j < max_iter, jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        j, done, W, violation_init, n_iter = state
+        W_new, violation = _cd_half_sweep(W, gram, P, l1_reg, l2_reg)
+        violation = violation.astype(dtype)
+        violation_init = jnp.where(j == 0, violation, violation_init)
+        keep = jnp.logical_not(done)
+        W = jnp.where(keep[:, None, None], W_new, W)
+        n_iter = jnp.where(keep, j + 1, n_iter)
+        newly_done = jnp.where(
+            violation_init == 0, True,
+            violation / jnp.maximum(violation_init, EPSILON) <= tol,
+        )
+        done = jnp.logical_or(done, newly_done)
+        return j + 1, done, W, violation_init, n_iter
+
+    state0 = (
+        jnp.zeros((), jnp.int32), jnp.zeros(B, bool), W0,
+        jnp.zeros(B, dtype), jnp.zeros(B, jnp.int32),
+    )
+    _, _, W, _, n_iter = jax.lax.while_loop(cond, body, state0)
+    return W, n_iter
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "seg_len", "tol", "update_H", "l1_reg_W", "l1_reg_H",
         "l2_reg_W", "l2_reg_H", "use_pallas", "interpret",

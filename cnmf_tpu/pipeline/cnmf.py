@@ -61,6 +61,7 @@ from cnmf_tpu.pipeline.solvers import (
     cd_pallas_eligible,
     compute_regularization,
     mu_pallas_eligible,
+    refit_spectra_transposed,
     refit_usages,
     solve_nmf_batch,
     solve_nmf_batch_sharded,
@@ -354,7 +355,11 @@ class cNMF:
             n, g = read_h5ad_shape(tpm_path)
         except Exception:
             return
-        if n * g * self.compute_dtype.itemsize >= self._tpm_device_limit():
+        # stricter than the consensus-time gate: the prefetched buffer
+        # coexists with factorize's solver working set (~4 GB budget), so
+        # only prefetch TPMs up to HALF the usual device limit — larger ones
+        # wait for consensus to upload them (cheap now via device densify)
+        if n * g * self.compute_dtype.itemsize >= 0.5 * self._tpm_device_limit():
             return
 
         def run():
@@ -1238,8 +1243,8 @@ class cNMF:
 
             _mark("tpm_upload")
             if tpm_on_device:
-                spectra_tpm_vals = refit_usages(
-                    tpm_src.T, norm_usages.values.T.astype(self.compute_dtype),
+                spectra_tpm_vals = refit_spectra_transposed(
+                    tpm_src, norm_usages.values.astype(self.compute_dtype),
                     nmf_kwargs, dtype=self.compute_dtype,
                 ).T
             else:

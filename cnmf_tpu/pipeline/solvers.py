@@ -18,9 +18,12 @@ import numpy as np
 
 from cnmf_tpu.ops.init import nnls_w_init
 from cnmf_tpu.ops.nmf import (
+    MATMUL_PRECISION,
+    _shared_x_dot,
     nmf_coordinate_descent,
     nmf_coordinate_descent_compacted,
     nmf_multiplicative_update,
+    nnls_cd_from_products,
 )
 
 BETA_LOSS = {"frobenius": 2.0, "kullback-leibler": 1.0, "itakura-saito": 0.0}
@@ -108,6 +111,24 @@ def solve_nmf_batch(
     if solver == "cd":
         if beta != 2.0:
             raise ValueError("CD solver supports frobenius loss only")
+        if not update_H:
+            # fixed-spectra refit: HHt and XHt never change across sweeps, so
+            # compute them once and run the distilled half-sweep loop — same
+            # sweeps, same stopping, same factors (pinned by
+            # test_nnls_from_products_matches_full_solver), at O(M·K²) per
+            # sweep instead of O(M·G·K)
+            W0 = jnp.asarray(W0)
+            Ht0 = jnp.asarray(Ht0)
+            gram = jnp.einsum(
+                "bgk,bgl->bkl", Ht0, Ht0,
+                preferred_element_type=W0.dtype, precision=MATMUL_PRECISION,
+            )
+            P = _shared_x_dot(X, Ht0)
+            W, n_iter = nnls_cd_from_products(
+                gram, P, W0, tol=tol, max_iter=max_iter,
+                l1_reg=l1_reg_W, l2_reg=l2_reg_W,
+            )
+            return W, Ht0, n_iter
         if compact:
             return nmf_coordinate_descent_compacted(
                 X, np.asarray(W0), np.asarray(Ht0), tol=tol, max_iter=max_iter,
@@ -237,6 +258,65 @@ def _match_factor_shardings(X, W0, Ht0):
     W0 = jax.device_put(W0, NamedSharding(sh.mesh, P(None, spec[0], None)))
     Ht0 = jax.device_put(Ht0, NamedSharding(sh.mesh, P(None, spec[1], None)))
     return W0, Ht0
+
+
+def refit_spectra_transposed(X, usages, nmf_kwargs, dtype=np.float32,
+                             mu_chunk: int = 8):
+    """Fixed-usage spectra refit via the transpose trick (reference
+    cnmf.py:805-820, 948-955) WITHOUT materializing Xᵀ: the CD refit only
+    consumes the usage gram and the contraction Xᵀ·U, so the (genes × cells)
+    copy — 8 GB at the 100k×20k atlas config — never exists in HBM.
+
+    X: (cells × genes) host or device array, possibly cell-padded for even
+    mesh sharding (padded usage rows are zero → exactly neutral in both
+    products); usages: (cells × k). Returns spectra in X's units, transposed:
+    (genes × k). MU solves fall back to the materialized transpose."""
+    solver = nmf_kwargs.get("solver", "cd")
+    if solver != "cd":
+        Xt = X.T if isinstance(X, jax.Array) else np.ascontiguousarray(
+            np.asarray(X).T
+        )
+        return refit_usages(
+            Xt, np.ascontiguousarray(usages.T), nmf_kwargs, dtype=dtype,
+            mu_chunk=mu_chunk,
+        )
+    k = usages.shape[1]
+    pad_k = -(-k // 8) * 8
+    if isinstance(X, jax.Array):
+        Xd = X.astype(dtype) if X.dtype != dtype else X
+    else:
+        Xd = jnp.asarray(np.ascontiguousarray(X, dtype=dtype))
+    U = np.ascontiguousarray(usages, dtype=dtype)
+    if pad_k > k:
+        U = np.pad(U, ((0, 0), (0, pad_k - k)))
+    if U.shape[0] < Xd.shape[0]:
+        U = np.pad(U, ((0, Xd.shape[0] - U.shape[0]), (0, 0)))
+    # the reg scaling the materialized-transpose solve would see:
+    # its X is (genes × cells) → n_features = (padded) cell count
+    l1_reg_W, _, l2_reg_W, _ = compute_regularization(
+        float(nmf_kwargs.get("alpha_W", 0.0)),
+        nmf_kwargs.get("alpha_H", "same"),
+        float(nmf_kwargs.get("l1_ratio", 0.0)),
+        (Xd.shape[1], Xd.shape[0]),
+    )
+    Ud = jnp.asarray(U)
+    gram = jnp.einsum(
+        "nk,nl->kl", Ud, Ud, preferred_element_type=Ud.dtype,
+        precision=MATMUL_PRECISION,
+    )[None]
+    # (k, G) product then transpose the SMALL result — an 'ng,nk->gk'
+    # einsum invites XLA to transpose the huge lhs instead
+    P = jnp.transpose(jnp.dot(
+        Ud.T, Xd, preferred_element_type=Ud.dtype,
+        precision=MATMUL_PRECISION,
+    ))[None]
+    W0 = jnp.zeros((1, Xd.shape[1], pad_k), dtype)
+    W, _ = nnls_cd_from_products(
+        gram, P, W0, tol=float(nmf_kwargs.get("tol", 1e-4)),
+        max_iter=int(nmf_kwargs.get("max_iter", 200)),
+        l1_reg=l1_reg_W, l2_reg=l2_reg_W,
+    )
+    return np.asarray(W[0, :, :k])
 
 
 def refit_usages(

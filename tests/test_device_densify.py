@@ -75,3 +75,14 @@ def test_eligibility_gate(monkeypatch):
     assert not device_densify_eligible(too_dense, np.float32)
     monkeypatch.setenv("CNMF_TPU_DEVICE_DENSIFY", "0")
     assert not device_densify_eligible(sparse_enough, np.float32)
+
+
+def test_blocked_scatter_matches_single_shot(monkeypatch):
+    import cnmf_tpu.ops.device_densify as dd
+
+    X = _random_csr(300, 200, 0.2, seed=7)  # nnz ~12000
+    expect = X.toarray().astype(np.float32)
+    monkeypatch.setattr(dd, "_SINGLE_SHOT_MAX_NNZ", 1000)
+    monkeypatch.setattr(dd, "_BLOCK_NNZ", 1 << 10)  # many blocks, unaligned
+    got = np.asarray(dd.device_densify_csr(X, out_dtype=np.float32))
+    np.testing.assert_array_equal(got, expect)

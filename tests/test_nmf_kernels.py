@@ -311,3 +311,72 @@ def test_random_init_batch_device_properties():
     _np.testing.assert_array_equal(_np.asarray(W0b)[0], W0[2])
     # different seeds -> different draws
     assert not _np.array_equal(W0[0], W0[1])
+
+
+def test_nnls_from_products_matches_full_solver():
+    """nnls_cd_from_products must be exactly the update_H=False solver: with
+    the spectra fixed, HHt/XHt are loop-invariant, so feeding them in as
+    products changes nothing — same sweep counts, same factors."""
+    from cnmf_tpu.ops.nmf import (
+        MATMUL_PRECISION,
+        _shared_x_dot,
+        nmf_coordinate_descent,
+        nnls_cd_from_products,
+    )
+
+    rng = np.random.RandomState(4)
+    N, G, K, B = 60, 45, 6, 3
+    X = jnp.asarray(rng.gamma(1.0, 1.0, size=(N, G)))
+    Ht0 = jnp.asarray(np.abs(rng.standard_normal((B, G, K))))
+    W0 = jnp.zeros((B, N, K), X.dtype)
+
+    for l1, l2 in [(0.0, 0.0), (0.7, 0.3)]:
+        W_full, _, n_full = nmf_coordinate_descent(
+            X, W0, Ht0, tol=1e-4, max_iter=150, update_H=False,
+            l1_reg_W=l1, l2_reg_W=l2,
+        )
+        gram = jnp.einsum(
+            "bgk,bgl->bkl", Ht0, Ht0, preferred_element_type=X.dtype,
+            precision=MATMUL_PRECISION,
+        )
+        P = _shared_x_dot(X, Ht0)
+        W_prod, n_prod = nnls_cd_from_products(
+            gram, P, W0, tol=1e-4, max_iter=150, l1_reg=l1, l2_reg=l2,
+        )
+        np.testing.assert_array_equal(np.asarray(n_full), np.asarray(n_prod))
+        np.testing.assert_array_equal(np.asarray(W_full), np.asarray(W_prod))
+
+
+def test_nnls_from_products_transposed_problem():
+    """The transpose-free spectra refit: products of the transposed problem
+    computed by contraction equal solving on a materialized X.T."""
+    from cnmf_tpu.ops.nmf import (
+        MATMUL_PRECISION,
+        nmf_coordinate_descent,
+        nnls_cd_from_products,
+    )
+
+    rng = np.random.RandomState(11)
+    N, G, K = 80, 30, 5
+    X = jnp.asarray(rng.gamma(1.0, 1.0, size=(N, G)))
+    U = jnp.asarray(np.abs(rng.standard_normal((N, K))))  # fixed usages
+
+    # reference: solve on the materialized transpose
+    W_ref, _, n_ref = nmf_coordinate_descent(
+        X.T, jnp.zeros((1, G, K), X.dtype), U[None],
+        tol=1e-4, max_iter=200, update_H=False,
+    )
+    gram = jnp.einsum(
+        "nk,nl->kl", U, U, preferred_element_type=X.dtype,
+        precision=MATMUL_PRECISION,
+    )[None]
+    P = jnp.einsum(
+        "ng,nk->gk", X, U, preferred_element_type=X.dtype,
+        precision=MATMUL_PRECISION,
+    )[None]
+    W_t, n_t = nnls_cd_from_products(gram, P, jnp.zeros((1, G, K), X.dtype),
+                                     tol=1e-4, max_iter=200)
+    np.testing.assert_array_equal(np.asarray(n_ref), np.asarray(n_t))
+    np.testing.assert_allclose(
+        np.asarray(W_ref), np.asarray(W_t), rtol=1e-10, atol=1e-12
+    )

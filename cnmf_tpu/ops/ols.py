@@ -107,6 +107,17 @@ def efficient_ols_all_cols(
                         precision=MATMUL_PRECISION),
                 dtype=np.float64,
             )
+    elif sp.issparse(Y):
+        # sparse host matrix: UᵀY is ONE host SpMM (O(nnz·k)) — the
+        # row-batched device path below would upload the dense row tiles
+        # (~9 GB at the 100k×20k atlas config through a ~32 MB/s link).
+        # f64 throughout: strictly tighter than the device f32 accumulation.
+        U64 = U[:n].astype(np.float64)
+        XtY = np.asarray((Y.T @ U64)).T
+        if normalize_y:
+            u_sum = U64.sum(axis=0)
+            XtY = (XtY - u_sum[:, None] * mean_y.astype(np.float64)[None, :]) \
+                * (1.0 / np.sqrt(var_y))[None, :]
     else:
         # host fallback: row-batched accumulation bounds memory at
         # batch_size × G regardless of N

@@ -288,8 +288,15 @@ class cNMF:
 
     def _tpm_device_limit(self):
         """Byte threshold under which the full-gene TPM matrix stays
-        device-resident for the consensus refits/OLS (above it, the chunked
-        host fallback runs). Override with ``self.tpm_device_bytes_limit``."""
+        device-resident for the consensus refits/OLS. Above it, sparse
+        inputs take the host-SpMM product path (the TPM never goes dense
+        anywhere) and dense inputs the chunked host fallback. Override with
+        ``self.tpm_device_bytes_limit``.
+
+        0.25×HBM: the resident TPM coexists with the norm-counts buffer,
+        the scatter-densify transfer temps and the fused program's
+        workspace — an 8 GB TPM on a 16 GB v5e measured RESOURCE_EXHAUSTED
+        even though it nominally "fits"."""
         override = getattr(self, "tpm_device_bytes_limit", None)
         if override is not None:
             return override
@@ -299,11 +306,11 @@ class cNMF:
                 stats = dev.memory_stats() or {}
                 limit = stats.get("bytes_limit")
                 if limit:
-                    return 0.6 * limit
+                    return 0.25 * limit
                 kind = dev.device_kind.lower()
                 for key, hbm in self._HBM_BY_KIND:
                     if key in kind:
-                        return 0.6 * hbm
+                        return 0.25 * hbm
         except Exception:
             pass
         return 4e9
@@ -1242,7 +1249,13 @@ class cNMF:
                 tpm_src = tpm.X
 
             _mark("tpm_upload")
-            if tpm_on_device:
+            if tpm_on_device or (
+                sp.issparse(tpm.X) and nmf_kwargs.get("solver", "cd") == "cd"
+            ):
+                # device-resident TPM, or sparse host TPM with the CD
+                # solver: either way the refit reduces to the usage gram +
+                # one XᵀU product (device matmul / host SpMM) and no
+                # (genes × cells) copy ever exists
                 spectra_tpm_vals = refit_spectra_transposed(
                     tpm_src, norm_usages.values.astype(self.compute_dtype),
                     nmf_kwargs, dtype=self.compute_dtype,
@@ -1315,9 +1328,12 @@ class cNMF:
                 tpm_stats_idx = tpm_stats.copy()
                 tpm_stats_idx.index = tpm.var.index
                 spectra_tpm_rf = spectra_tpm_rf.div(tpm_stats_idx.loc[hvgs, "__std"], axis=1)
+                # refit_usages handles sparse host matrices directly (CD →
+                # host SpMM products; MU → host densify), so the atlas path
+                # never expands the HVG TPM slice here
                 rf_usages = refit_usages(
-                    norm_tpm_X if tpm_on_device else np.asarray(norm_tpm_X.todense())
-                    if sp.issparse(norm_tpm_X) else np.asarray(norm_tpm_X),
+                    norm_tpm_X if (tpm_on_device or sp.issparse(norm_tpm_X))
+                    else np.asarray(norm_tpm_X),
                     spectra_tpm_rf.values.astype(self.compute_dtype),
                     nmf_kwargs, dtype=self.compute_dtype,
                     n_rows=n_cells if tpm_on_device else None,

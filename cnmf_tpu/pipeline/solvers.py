@@ -271,8 +271,15 @@ def refit_spectra_transposed(X, usages, nmf_kwargs, dtype=np.float32,
     mesh sharding (padded usage rows are zero → exactly neutral in both
     products); usages: (cells × k). Returns spectra in X's units, transposed:
     (genes × k). MU solves fall back to the materialized transpose."""
+    import scipy.sparse as sp
+
     solver = nmf_kwargs.get("solver", "cd")
     if solver != "cd":
+        if sp.issparse(X):
+            raise ValueError(
+                "refit_spectra_transposed: sparse X is CD-only — the MU "
+                "spectra refit goes through the pipeline's gene-chunked path"
+            )
         Xt = X.T if isinstance(X, jax.Array) else np.ascontiguousarray(
             np.asarray(X).T
         )
@@ -282,35 +289,44 @@ def refit_spectra_transposed(X, usages, nmf_kwargs, dtype=np.float32,
         )
     k = usages.shape[1]
     pad_k = -(-k // 8) * 8
-    if isinstance(X, jax.Array):
-        Xd = X.astype(dtype) if X.dtype != dtype else X
-    else:
-        Xd = jnp.asarray(np.ascontiguousarray(X, dtype=dtype))
     U = np.ascontiguousarray(usages, dtype=dtype)
     if pad_k > k:
         U = np.pad(U, ((0, 0), (0, pad_k - k)))
-    if U.shape[0] < Xd.shape[0]:
-        U = np.pad(U, ((0, Xd.shape[0] - U.shape[0]), (0, 0)))
+    if U.shape[0] < X.shape[0]:
+        U = np.pad(U, ((0, X.shape[0] - U.shape[0]), (0, 0)))
     # the reg scaling the materialized-transpose solve would see:
     # its X is (genes × cells) → n_features = (padded) cell count
     l1_reg_W, _, l2_reg_W, _ = compute_regularization(
         float(nmf_kwargs.get("alpha_W", 0.0)),
         nmf_kwargs.get("alpha_H", "same"),
         float(nmf_kwargs.get("l1_ratio", 0.0)),
-        (Xd.shape[1], Xd.shape[0]),
+        (X.shape[1], X.shape[0]),
     )
     Ud = jnp.asarray(U)
     gram = jnp.einsum(
         "nk,nl->kl", Ud, Ud, preferred_element_type=Ud.dtype,
         precision=MATMUL_PRECISION,
     )[None]
-    # (k, G) product then transpose the SMALL result — an 'ng,nk->gk'
-    # einsum invites XLA to transpose the huge lhs instead
-    P = jnp.transpose(jnp.dot(
-        Ud.T, Xd, preferred_element_type=Ud.dtype,
-        precision=MATMUL_PRECISION,
-    ))[None]
-    W0 = jnp.zeros((1, Xd.shape[1], pad_k), dtype)
+    if sp.issparse(X):
+        # host SpMM: XᵀU in O(nnz·k) — the full-gene TPM never goes dense
+        # anywhere, on host or device
+        P = jnp.asarray(
+            np.ascontiguousarray(np.asarray(X.T @ U), dtype=dtype)
+        )[None]
+        n_out = X.shape[1]
+    else:
+        if isinstance(X, jax.Array):
+            Xd = X.astype(dtype) if X.dtype != dtype else X
+        else:
+            Xd = jnp.asarray(np.ascontiguousarray(X, dtype=dtype))
+        # (k, G) product then transpose the SMALL result — an 'ng,nk->gk'
+        # einsum invites XLA to transpose the huge lhs instead
+        P = jnp.transpose(jnp.dot(
+            Ud.T, Xd, preferred_element_type=Ud.dtype,
+            precision=MATMUL_PRECISION,
+        ))[None]
+        n_out = Xd.shape[1]
+    W0 = jnp.zeros((1, n_out, pad_k), dtype)
     W, _ = nnls_cd_from_products(
         gram, P, W0, tol=float(nmf_kwargs.get("tol", 1e-4)),
         max_iter=int(nmf_kwargs.get("max_iter", 200)),
@@ -340,6 +356,8 @@ def refit_usages(
     When X's COLUMNS are padded cells (the transpose-trick spectra refit),
     the fixed spectra grow matching zero columns, which contribute nothing
     to the HHt gram or the XHt product."""
+    import scipy.sparse as sp
+
     solver = nmf_kwargs.get("solver", "cd")
     k = spectra.shape[0]
     # zero-pad the component count to a bucket of 8 so refits across a K
@@ -351,6 +369,39 @@ def refit_usages(
     real_cols = spectra_p.shape[0]
     if pad_k > k:
         spectra_p = np.pad(spectra_p, ((0, 0), (0, pad_k - k)))
+
+    if sp.issparse(X):
+        if solver == "cd":
+            # host-sparse X never densifies anywhere: the CD refit consumes
+            # only the spectra gram and P = X·Htᵀ — one host SpMM (O(nnz·k))
+            # — and the device runs the tiny (N, pad_k) half-sweep loop.
+            n_real = X.shape[0] if n_rows is None else int(n_rows)
+            l1_reg_W, _, l2_reg_W, _ = compute_regularization(
+                float(nmf_kwargs.get("alpha_W", 0.0)),
+                nmf_kwargs.get("alpha_H", "same"),
+                float(nmf_kwargs.get("l1_ratio", 0.0)),
+                X.shape,
+            )
+            sp_d = jnp.asarray(spectra_p[None])
+            gram = jnp.einsum(
+                "bgk,bgl->bkl", sp_d, sp_d,
+                preferred_element_type=sp_d.dtype, precision=MATMUL_PRECISION,
+            )
+            P = jnp.asarray(
+                np.ascontiguousarray((X @ spectra_p), dtype=dtype)
+            )[None]
+            W, _ = nnls_cd_from_products(
+                gram, P, jnp.zeros((1, X.shape[0], pad_k), dtype),
+                tol=float(nmf_kwargs.get("tol", 1e-4)),
+                max_iter=int(nmf_kwargs.get("max_iter", 200)),
+                l1_reg=l1_reg_W, l2_reg=l2_reg_W,
+            )
+            return np.asarray(W[0, :n_real, :k])
+        # MU needs the reconstruction against X itself — densify on host
+        from cnmf_tpu.native import densify_csr
+
+        X = densify_csr(X, out_dtype=dtype)
+
     if isinstance(X, jax.Array):
         Xd = X.astype(dtype) if X.dtype != dtype else X
         n_total = Xd.shape[0]

@@ -232,9 +232,10 @@ class cNMF:
             self._stack_memo_bytes = used + nbytes
 
     def _recall_spectra_stack(self, k, files):
-        """Return (values_f64, columns) for the merged stack iff the memo
-        covers EXACTLY the requested (iter, path) list and every file on disk
-        still carries the stat captured at write time; else None."""
+        """Return (values, columns) for the merged stack — at the batch's
+        own dtype — iff the memo covers EXACTLY the requested (iter, path)
+        list and every file on disk still carries the stat captured at write
+        time; else None."""
         with _MEMO_LOCK:
             memo = getattr(self, "_stack_memo", None)
             entry = memo.get(k) if memo else None
@@ -255,7 +256,17 @@ class cNMF:
             if (st.st_mtime_ns, st.st_size) != hit[1]:
                 return None
             rows.append(hit[2])
-        values = batch[rows].reshape(-1, batch.shape[2]).astype(np.float64)
+        if rows == list(range(batch.shape[0])):
+            # complete in-order run (the common case): reshape is a VIEW of
+            # the already-warm batch — the merged write streams straight from
+            # it with zero fresh pages faulted. Consumers are read-only (the
+            # artifact memo hands out copy-on-write slices).
+            values = batch.reshape(-1, batch.shape[2])
+        else:
+            # the fancy index is a fresh contiguous copy at batch dtype;
+            # upcasting it to f64 would change no value, only fault twice
+            # the pages
+            values = batch[rows].reshape(-1, batch.shape[2])
         return values, gene_index
 
     def _recall_artifact(self, path, copy=True):
@@ -708,8 +719,13 @@ class cNMF:
 
                 def write_one(args, k=k, spectra_batch=spectra_batch):
                     i, it = args
+                    # stored at the solver's dtype: an f64 upcast would add
+                    # only zero mantissa bits while doubling the bytes
+                    # written AND faulting ~130 MB of fresh pages per K grid
+                    # (first-touch on this class of host measures ~20x the
+                    # warm-copy cost)
                     spectra = pd.DataFrame(
-                        spectra_batch[i].astype(np.float64),
+                        spectra_batch[i],
                         index=np.arange(1, k + 1),
                         columns=gene_index,
                     )
@@ -909,10 +925,10 @@ class cNMF:
     def combine(self, components=None, skip_missing_files=False):
         from concurrent.futures import ThreadPoolExecutor
 
+        run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
         if type(components) is int:
             ks = [components]
         elif components is None:
-            run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
             ks = sorted(set(run_params.n_components))
         else:
             ks = components
@@ -920,19 +936,27 @@ class cNMF:
         # memo recalls + npz IO, which threads overlap well
         with ThreadPoolExecutor(max_workers=min(8, max(len(ks), 1))) as pool:
             list(pool.map(
-                lambda k: self.combine_nmf(k, skip_missing_files=skip_missing_files),
+                lambda k: self.combine_nmf(
+                    k, skip_missing_files=skip_missing_files,
+                    _run_params=run_params,
+                ),
                 ks,
             ))
 
     def combine_nmf(self, k, skip_missing_files=False,
-                    remove_individual_iterations=False):
+                    remove_individual_iterations=False, _run_params=None):
         """Concatenate per-iteration spectra into the merged (n_iter·K × G)
-        stack with ``iter{r}_topic{t}`` row labels (reference cnmf.py:748-773)."""
+        stack with ``iter{r}_topic{t}`` row labels (reference cnmf.py:748-773).
+        ``_run_params``: pre-loaded replicate table (combine() hoists the load
+        out of its per-K fan-out)."""
         import errno
 
         from concurrent.futures import ThreadPoolExecutor
 
-        run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
+        run_params = (
+            _run_params if _run_params is not None
+            else load_df_from_npz(self.paths["nmf_replicate_parameters"])
+        )
         print("Combining factorizations for k=%d." % k)
         run_params_subset = run_params[run_params.n_components == k].sort_values("iter")
 

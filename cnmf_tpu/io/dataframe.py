@@ -50,7 +50,12 @@ def save_df_to_npz(obj: pd.DataFrame, filename: str):
 
 def load_df_from_npz(filename: str) -> pd.DataFrame:
     with np.load(filename, allow_pickle=True) as f:
-        obj = pd.DataFrame(**f)
+        # copy=False: the arrays are freshly materialized by np.load and
+        # owned by nobody else — letting pandas re-copy a counts matrix
+        # doubles the load time of multi-hundred-MB inputs
+        obj = pd.DataFrame(
+            f["data"], index=f["index"], columns=f["columns"], copy=False
+        )
     return obj
 
 

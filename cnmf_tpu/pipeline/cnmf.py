@@ -373,20 +373,25 @@ class cNMF:
             n, g = read_h5ad_shape(tpm_path)
         except Exception:
             return
-        # stricter than the consensus-time gate: the prefetched buffer
+        # stricter than the consensus-time gate: the prefetched DEVICE buffer
         # coexists with factorize's solver working set (~4 GB budget), so
-        # only prefetch TPMs up to HALF the usual device limit — larger ones
-        # wait for consensus to upload them (cheap now via device densify)
-        if n * g * self.compute_dtype.itemsize >= 0.5 * self._tpm_device_limit():
-            return
+        # only upload TPMs up to HALF the usual device limit — larger ones
+        # get a HOST-side read warm-up only (consensus's sparse-products
+        # path consumes the host CSR directly, and its h5ad read is ~11 s
+        # at the 100k×20k atlas scale; h5py releases the GIL, so the read
+        # rides along under the device-bound solver programs)
+        to_device = (
+            n * g * self.compute_dtype.itemsize < 0.5 * self._tpm_device_limit()
+        )
 
         def run():
             try:
                 tpm = self._read_h5ad_cached(tpm_path)
-                self._device_cached(
-                    "_tpm_dev_cache", tpm,
-                    lambda: self._to_device_dense(tpm.X),
-                )
+                if to_device:
+                    self._device_cached(
+                        "_tpm_dev_cache", tpm,
+                        lambda: self._to_device_dense(tpm.X),
+                    )
             except Exception as exc:  # never fail factorize for a warm cache
                 if os.environ.get("CNMF_TPU_TIMINGS", "0") == "1":
                     import sys

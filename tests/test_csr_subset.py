@@ -1,0 +1,66 @@
+"""csr_column_subset: the one-pass CSR column gather must match scipy's
+CSC-routed slicing exactly (it replaces ``X.tocsc()[:, cols].tocsr()`` on the
+atlas consensus path, where the double conversion measured 22-31 s)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from cnmf_tpu.io.anndata_lite import AnnData, csr_column_subset
+
+
+def _rand_csr(seed, n=60, g=40, density=0.2):
+    rng = np.random.RandomState(seed)
+    X = sp.random(n, g, density=density, random_state=rng, format="csr")
+    X.data = rng.gamma(1.0, 2.0, size=X.nnz)
+    return X
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_subset_matches_scipy_ordered(seed):
+    X = _rand_csr(seed)
+    cols = np.sort(np.random.RandomState(seed + 10).choice(40, 17, replace=False))
+    ref = X.tocsc()[:, cols].tocsr()
+    got = csr_column_subset(X, cols)
+    assert got.shape == ref.shape
+    assert (got != ref).nnz == 0
+    assert got.has_sorted_indices
+
+
+def test_subset_matches_scipy_unordered():
+    X = _rand_csr(3)
+    cols = np.random.RandomState(4).permutation(40)[:15]
+    ref = X.tocsc()[:, cols].tocsr()
+    got = csr_column_subset(X, cols)
+    assert (got != ref).nnz == 0
+
+
+def test_subset_empty_rows_and_all_columns_dropped():
+    X = sp.csr_matrix(np.array([[0, 1, 0], [0, 0, 0], [2, 0, 3]], dtype=float))
+    got = csr_column_subset(X, np.array([1]))
+    np.testing.assert_array_equal(got.toarray(), [[1.0], [0.0], [0.0]])
+    got2 = csr_column_subset(X, np.array([], dtype=int))
+    assert got2.shape == (3, 0) and got2.nnz == 0
+
+
+def test_anndata_label_slice_uses_fast_path():
+    import pandas as pd
+
+    X = _rand_csr(5, n=30, g=20)
+    genes = [f"g{j}" for j in range(20)]
+    ad = AnnData(X, var=pd.DataFrame(index=genes))
+    pick = ["g3", "g17", "g0", "g9"]
+    sub = ad[:, pick]
+    ref = X.tocsc()[:, [3, 17, 0, 9]].tocsr()
+    assert (sub.X != ref).nnz == 0
+    assert list(sub.var.index) == pick
+
+
+def test_anndata_duplicate_labels_fall_back():
+    import pandas as pd
+
+    X = _rand_csr(6, n=10, g=8)
+    ad = AnnData(X, var=pd.DataFrame(index=[f"g{j}" for j in range(8)]))
+    sub = ad[:, ["g2", "g2", "g5"]]
+    ref = X.tocsc()[:, [2, 2, 5]].tocsr()
+    assert (sub.X != ref).nnz == 0

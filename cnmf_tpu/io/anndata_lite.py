@@ -30,18 +30,37 @@ def csr_column_subset(X: sp.csr_matrix, cols: np.ndarray) -> sp.csr_matrix:
 
     ``cols`` must be duplicate-free integer positions; output column ``j``
     is input column ``cols[j]`` (any order)."""
+    from cnmf_tpu.native import csr_col_subset as _native_subset
+
     cols = np.asarray(cols)
     lookup = np.full(X.shape[1], -1, dtype=np.int32)
     lookup[cols] = np.arange(len(cols), dtype=np.int32)
-    new_cols = lookup[X.indices]
-    mask = new_cols >= 0
-    counts_dtype = X.indptr.dtype if X.indptr.dtype.itemsize >= 8 else np.int64
-    running = np.cumsum(mask, dtype=counts_dtype)
-    indptr = np.concatenate(
-        [np.zeros(1, dtype=counts_dtype), running]
-    )[X.indptr]
+    native = _native_subset(X, lookup)
+    if native is not None:
+        # two streaming C passes with exact-size outputs — numpy below needs
+        # ~5 transient nnz-length arrays, each paying first-touch faults
+        data, indices, indptr = native
+    else:
+        new_cols = lookup[X.indices]
+        mask = new_cols >= 0
+        # per-ROW survivor counts, then a cumsum over n_rows — NOT over nnz
+        # (an nnz-length int64 cumsum materializes ~2 GB at atlas scale and
+        # measured 52 s on a slow-first-touch host). reduceat quirk: an
+        # empty segment reports the next element instead of 0 — zero those
+        # rows after.
+        n_rows = X.shape[0]
+        if mask.size == 0:
+            counts = np.zeros(n_rows, dtype=np.int64)
+        else:
+            starts = np.minimum(X.indptr[:-1], mask.size - 1)
+            counts = np.add.reduceat(mask, starts, dtype=np.int64)
+            counts[np.diff(X.indptr) == 0] = 0
+        indptr = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(counts, dtype=np.int64)]
+        )
+        data, indices = X.data[mask], new_cols[mask]
     out = sp.csr_matrix(
-        (X.data[mask], new_cols[mask], indptr),
+        (data, indices, indptr),
         shape=(X.shape[0], len(cols)),
     )
     if np.any(np.diff(cols) < 0):

@@ -74,8 +74,11 @@ def _write_x(parent: h5py.Group, name: str, X) -> None:
         _set_enc(group, enc, "0.1.0")
         group.attrs["shape"] = np.asarray(Xc.shape, dtype=np.int64)
         group.create_dataset("data", data=Xc.data)
-        group.create_dataset("indices", data=Xc.indices.astype(np.int32)
-                             if Xc.shape[1] < 2**31 else Xc.indices)
+        group.create_dataset(
+            "indices",
+            data=Xc.indices.astype(np.int32, copy=False)
+            if Xc.shape[1] < 2**31 else Xc.indices,
+        )
         group.create_dataset("indptr", data=Xc.indptr)
     else:
         ds = parent.create_dataset(name, data=np.asarray(X))

@@ -118,6 +118,23 @@ def _bind_symbols(lib) -> None:
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ]
+    lib.csr_col_subset_count.restype = ctypes.c_int64
+    lib.csr_col_subset_count.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    for name, data_t in [
+        ("csr_col_subset_fill_f64", ctypes.c_double),
+        ("csr_col_subset_fill_f32", ctypes.c_float),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(data_t), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(data_t),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
 
 
 def csr_col_moments(X):
@@ -146,6 +163,47 @@ def csr_col_moments(X):
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return s, q
+
+
+def csr_col_subset(X, lookup):
+    """Column-subset a CSR matrix through a gather table (``lookup[j]`` =
+    output column of input column j, -1 = drop) in two streaming passes.
+    Returns ``(data, indices, indptr)`` arrays, or None when the native
+    library is unavailable or the layout isn't covered (caller falls back
+    to the numpy path)."""
+    if not sp.isspmatrix_csr(X) or X.dtype not in (np.float64, np.float32):
+        return None
+    if X.indices.dtype != np.int32:
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(X.data)
+    indices = np.ascontiguousarray(X.indices)
+    indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
+    lookup = np.ascontiguousarray(lookup, dtype=np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    kept = lib.csr_col_subset_count(
+        indices.ctypes.data_as(i32), np.int64(data.size),
+        lookup.ctypes.data_as(i32),
+    )
+    out_data = np.empty(kept, dtype=X.dtype)
+    out_indices = np.empty(kept, dtype=np.int32)
+    out_indptr = np.empty(X.shape[0] + 1, dtype=np.int64)
+    data_t = ctypes.c_double if X.dtype == np.float64 else ctypes.c_float
+    fn = (lib.csr_col_subset_fill_f64 if X.dtype == np.float64
+          else lib.csr_col_subset_fill_f32)
+    fn(
+        data.ctypes.data_as(ctypes.POINTER(data_t)),
+        indices.ctypes.data_as(i32),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.int64(X.shape[0]),
+        lookup.ctypes.data_as(i32),
+        out_data.ctypes.data_as(ctypes.POINTER(data_t)),
+        out_indices.ctypes.data_as(i32),
+        out_indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out_data, out_indices, out_indptr
 
 
 def densify_csr(X, out_dtype=None) -> np.ndarray:

@@ -86,6 +86,59 @@ void csr_col_moments_f64(const double* data, const int32_t* indices,
     }
 }
 
+// Column subset of a CSR matrix through a gather table (lookup[j] = output
+// column of input column j, or -1 to drop). Two phases so the caller can
+// allocate exact-size outputs: a counting pass, then a sequential fill
+// (both memory-bound streams; numpy needs ~5 intermediate nnz-length
+// arrays for the same result, each paying first-touch faults).
+int64_t csr_col_subset_count(const int32_t* indices, int64_t nnz,
+                             const int32_t* lookup) {
+    int64_t kept = 0;
+#pragma omp parallel for schedule(static) reduction(+ : kept)
+    for (int64_t p = 0; p < nnz; ++p) {
+        kept += lookup[indices[p]] >= 0 ? 1 : 0;
+    }
+    return kept;
+}
+
+void csr_col_subset_fill_f64(const double* data, const int32_t* indices,
+                             const int64_t* indptr, int64_t n_rows,
+                             const int32_t* lookup, double* out_data,
+                             int32_t* out_indices, int64_t* out_indptr) {
+    int64_t pos = 0;
+    out_indptr[0] = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int32_t nc = lookup[indices[p]];
+            if (nc >= 0) {
+                out_data[pos] = data[p];
+                out_indices[pos] = nc;
+                ++pos;
+            }
+        }
+        out_indptr[i + 1] = pos;
+    }
+}
+
+void csr_col_subset_fill_f32(const float* data, const int32_t* indices,
+                             const int64_t* indptr, int64_t n_rows,
+                             const int32_t* lookup, float* out_data,
+                             int32_t* out_indices, int64_t* out_indptr) {
+    int64_t pos = 0;
+    out_indptr[0] = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int32_t nc = lookup[indices[p]];
+            if (nc >= 0) {
+                out_data[pos] = data[p];
+                out_indices[pos] = nc;
+                ++pos;
+            }
+        }
+        out_indptr[i + 1] = pos;
+    }
+}
+
 void csr_col_moments_f32(const float* data, const int32_t* indices,
                          int64_t nnz, int64_t n_cols,
                          double* sum_out, double* sumsq_out) {

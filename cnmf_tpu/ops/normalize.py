@@ -13,18 +13,30 @@ import scipy.sparse as sp
 
 
 def normalize_total(X, target_sum: float = 1e6):
-    """Scale each row (cell) to sum to ``target_sum``. Returns a new matrix."""
+    """Scale each row (cell) to sum to ``target_sum``. Returns a new matrix.
+
+    Float inputs keep their dtype (scanpy ``pp.normalize_total`` semantics:
+    an f32 counts matrix yields an f32 TPM); integer counts widen to f64.
+    Dtype preservation matters at atlas scale — upcasting a 242M-nnz TPM
+    to f64 costs a 1.9 GB cast and doubles the h5ad bytes on a ~40 MB/s
+    sustained disk."""
     if sp.issparse(X):
-        totals = np.asarray(X.sum(axis=1)).ravel()
+        totals = np.asarray(X.sum(axis=1)).ravel().astype(np.float64)
         scale = np.divide(
             target_sum, totals, out=np.zeros_like(totals, dtype=np.float64),
             where=totals != 0,
         )
-        # scale CSR rows in place on a copy — a diag @ X spgemm walks the
-        # general matmat path and is ~100x slower at 1e8 nnz
-        out = X.tocsr().astype(np.float64)
-        if out is X:
-            out = out.copy()
+        out_dtype = X.dtype if X.dtype.kind == "f" else np.float64
+        # scale CSR rows in place on a fresh DATA array — only data mutates,
+        # so the output shares the source's indices/indptr instead of
+        # duplicating ~1 GB of index structure at atlas scale (a
+        # diag @ X spgemm is ~100x slower still at 1e8 nnz)
+        Xc = X.tocsr()
+        out = sp.csr_matrix(
+            (Xc.data.astype(out_dtype), Xc.indices, Xc.indptr),
+            shape=Xc.shape, copy=False,
+        )
+        scale = scale.astype(out_dtype)
         try:
             from scipy.sparse import _sparsetools
             _sparsetools.csr_scale_rows(
@@ -34,10 +46,12 @@ def normalize_total(X, target_sum: float = 1e6):
         except (ImportError, AttributeError):
             out.data *= np.repeat(scale, np.diff(out.indptr))
         return out
-    X = np.asarray(X, dtype=np.float64)
-    totals = X.sum(axis=1, keepdims=True)
+    X = np.asarray(X)
+    if X.dtype.kind != "f":
+        X = X.astype(np.float64)
+    totals = X.sum(axis=1, keepdims=True, dtype=np.float64)
     safe = np.where(totals == 0, 1.0, totals)
-    return X * (target_sum / safe)
+    return X * (target_sum / safe).astype(X.dtype)
 
 
 

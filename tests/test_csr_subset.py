@@ -56,6 +56,17 @@ def test_anndata_label_slice_uses_fast_path():
     assert list(sub.var.index) == pick
 
 
+def test_numpy_fallback_matches_native(monkeypatch):
+    import cnmf_tpu.native as native
+
+    X = _rand_csr(7, n=50, g=30, density=0.3)
+    cols = np.array([4, 0, 29, 11, 12])
+    ref = csr_column_subset(X, cols)  # native (when compiler present)
+    monkeypatch.setattr(native, "csr_col_subset", lambda *a: None)
+    got = csr_column_subset(X, cols)  # forced numpy path
+    assert (got != ref).nnz == 0
+
+
 def test_anndata_duplicate_labels_fall_back():
     import pandas as pd
 

@@ -108,12 +108,33 @@ def efficient_ols_all_cols(
                 dtype=np.float64,
             )
     elif sp.issparse(Y):
-        # sparse host matrix: UᵀY is ONE host SpMM (O(nnz·k)) — the
+        # sparse host matrix: UᵀY is a host SpMM (O(nnz·k)) — the
         # row-batched device path below would upload the dense row tiles
         # (~9 GB at the 100k×20k atlas config through a ~32 MB/s link).
         # f64 throughout: strictly tighter than the device f32 accumulation.
+        # The product accumulates over ROW BLOCKS: a whole-matrix Y.T @ U64
+        # makes scipy upcast-copy every nonzero to f64 in one fresh ~2 GB
+        # allocation (measured 33 s on a slow-first-touch host); per-block
+        # casts reuse the same warm arena (~2 s). Blocks are zero-copy
+        # views into Y's arrays — only the cast copies.
         U64 = U[:n].astype(np.float64)
-        XtY = np.asarray((Y.T @ U64)).T
+        Yr = Y.tocsr()
+        XtY = np.zeros((k, Y.shape[1]), dtype=np.float64)
+        rows_per = max(
+            1, int(25_000_000 * Yr.shape[0] / max(Yr.nnz, 1))
+        )
+        for r0 in range(0, Yr.shape[0], rows_per):
+            r1 = min(r0 + rows_per, Yr.shape[0])
+            p0, p1 = int(Yr.indptr[r0]), int(Yr.indptr[r1])
+            block = sp.csr_matrix(
+                (
+                    Yr.data[p0:p1].astype(np.float64),
+                    Yr.indices[p0:p1],
+                    Yr.indptr[r0:r1 + 1] - p0,
+                ),
+                shape=(r1 - r0, Yr.shape[1]), copy=False,
+            )
+            XtY += np.asarray((block.T @ U64[r0:r1])).T
         if normalize_y:
             u_sum = U64.sum(axis=0)
             XtY = (XtY - u_sum[:, None] * mean_y.astype(np.float64)[None, :]) \

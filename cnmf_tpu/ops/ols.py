@@ -20,6 +20,12 @@ import scipy.sparse as sp
 
 from cnmf_tpu.ops.stats import mean_var
 
+# nnz per accumulation block of the sparse-host UᵀY product: bounds the
+# per-block f64 cast to ~200 MB so it recycles the warm malloc arena
+# instead of faulting one matrix-sized fresh allocation (tests shrink it
+# to force the multi-block path)
+SPMM_BLOCK_NNZ = 25_000_000
+
 
 @jax.jit
 def _xty_zscored(U: jax.Array, Y: jax.Array, mean: jax.Array, inv_std: jax.Array):
@@ -121,7 +127,7 @@ def efficient_ols_all_cols(
         Yr = Y.tocsr()
         XtY = np.zeros((k, Y.shape[1]), dtype=np.float64)
         rows_per = max(
-            1, int(25_000_000 * Yr.shape[0] / max(Yr.nnz, 1))
+            1, int(SPMM_BLOCK_NNZ * Yr.shape[0] / max(Yr.nnz, 1))
         )
         for r0 in range(0, Yr.shape[0], rows_per):
             r1 = min(r0 + rows_per, Yr.shape[0])

@@ -70,6 +70,24 @@ def test_ols_sparse_spmm_matches_dense(normalize_y):
     np.testing.assert_allclose(sparse, dense, rtol=1e-7, atol=1e-9)
 
 
+def test_ols_sparse_multiblock_matches_single(monkeypatch):
+    """Force several accumulation blocks (incl. an f32 input that must
+    upcast per block) and compare to the one-block result."""
+    import cnmf_tpu.ops.ols as ols_mod
+
+    rng = np.random.RandomState(11)
+    Y = sp.random(300, 80, density=0.25, random_state=rng, format="csr")
+    Y.data = (rng.gamma(1.0, 2.0, size=Y.nnz) + 0.5)
+    Y32 = Y.astype(np.float32)
+    U = np.abs(rng.standard_normal((300, 6)))
+    ref = efficient_ols_all_cols(U, Y, normalize_y=True, dtype=np.float64)
+    monkeypatch.setattr(ols_mod, "SPMM_BLOCK_NNZ", 500)  # ~12 blocks
+    got = efficient_ols_all_cols(U, Y, normalize_y=True, dtype=np.float64)
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+    got32 = efficient_ols_all_cols(U, Y32, normalize_y=True, dtype=np.float64)
+    np.testing.assert_allclose(got32, ref, rtol=2e-5, atol=1e-7)
+
+
 def test_consensus_sparse_atlas_path_matches_device(tmp_path):
     """Force the >limit-TPM branch with a SPARSE input: the spectra refit,
     OLS and final refit must ride the SpMM product paths and reproduce the

@@ -30,14 +30,18 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def synthesize(n_cells, n_genes, k_true=12, seed=11, block=2000):
+def synthesize(n_cells, n_genes, k_true=12, seed=11, block=2000,
+               h_density=0.08):
     """Planted-program sparse counts, built block-of-cells at a time so the
-    dense Poisson rate tile stays small."""
+    dense Poisson rate tile stays small. ``h_density`` controls program
+    sparsity and thereby the output fill (~0.12 at the default; ~0.05 at
+    0.03 — the realistic scRNA fill, and the one that keeps a 1M-cell
+    matrix under int32 nnz)."""
     rng = np.random.RandomState(seed)
     W = rng.gamma(0.5, 1.0, size=(n_cells, k_true)).astype(np.float32)
     H = (
         rng.gamma(0.45, 1.0, size=(k_true, n_genes))
-        * (rng.rand(k_true, n_genes) < 0.08)
+        * (rng.rand(k_true, n_genes) < h_density)
     ).astype(np.float32)
     base = rng.gamma(0.3, 0.02, size=(n_genes,)).astype(np.float32)
     blocks = []
@@ -66,6 +70,7 @@ def main():
     ap.add_argument("--hvg", type=int, default=2000)
     ap.add_argument("--k", type=int, default=12)
     ap.add_argument("--n-iter", type=int, default=30)
+    ap.add_argument("--h-density", type=float, default=0.08)
     ap.add_argument("--scratch", default="/tmp/cnmf_tpu_atlas")
     args = ap.parse_args()
 
@@ -89,7 +94,7 @@ def main():
     )
     if not os.path.exists(counts_fn):
         log(f"[atlas] synthesizing {args.cells}x{args.genes} sparse counts ...")
-        X = synthesize(args.cells, args.genes)
+        X = synthesize(args.cells, args.genes, h_density=args.h_density)
         log(f"[atlas] nnz={X.nnz} (fill {X.nnz/args.cells/args.genes:.3f})")
         ad = AnnData(
             X,

@@ -45,16 +45,18 @@ def csr_column_subset(X: sp.csr_matrix, cols: np.ndarray) -> sp.csr_matrix:
         mask = new_cols >= 0
         # per-ROW survivor counts, then a cumsum over n_rows — NOT over nnz
         # (an nnz-length int64 cumsum materializes ~2 GB at atlas scale and
-        # measured 52 s on a slow-first-touch host). reduceat quirk: an
-        # empty segment reports the next element instead of 0 — zero those
-        # rows after.
+        # measured 52 s on a slow-first-touch host). reduceat runs over the
+        # NONEMPTY rows' start offsets only: those are strictly increasing
+        # and all < nnz, so every segment covers exactly one row — clamping
+        # empty-row starts instead would steal elements from the preceding
+        # row's segment.
         n_rows = X.shape[0]
-        if mask.size == 0:
-            counts = np.zeros(n_rows, dtype=np.int64)
-        else:
-            starts = np.minimum(X.indptr[:-1], mask.size - 1)
-            counts = np.add.reduceat(mask, starts, dtype=np.int64)
-            counts[np.diff(X.indptr) == 0] = 0
+        counts = np.zeros(n_rows, dtype=np.int64)
+        nonempty = np.diff(X.indptr) > 0
+        if mask.size and nonempty.any():
+            counts[nonempty] = np.add.reduceat(
+                mask, X.indptr[:-1][nonempty], dtype=np.int64
+            )
         indptr = np.concatenate(
             [np.zeros(1, dtype=np.int64), np.cumsum(counts, dtype=np.int64)]
         )
@@ -154,14 +156,19 @@ class AnnData:
             Xs2 = Xs
             var = self.var
         else:
+            var_arr = np.asarray(var_idx)
             if not sp.issparse(Xs):
                 Xs2 = Xs[:, var_idx]
             elif (
                 sp.isspmatrix_csr(Xs)
-                and np.asarray(var_idx).dtype.kind in "iu"
-                and len(np.unique(var_idx)) == len(var_idx)
+                and var_arr.dtype.kind in "iu"
+                # negatives alias positive positions through the gather
+                # table (lookup[-1] overwrites the last column's slot), so
+                # only plain non-negative duplicate-free selections qualify
+                and (var_arr.dtype.kind == "u" or (var_arr >= 0).all())
+                and len(np.unique(var_arr)) == len(var_arr)
             ):
-                Xs2 = csr_column_subset(Xs, var_idx)
+                Xs2 = csr_column_subset(Xs, var_arr)
             else:
                 Xs2 = Xs.tocsc()[:, var_idx].tocsr()
             var = self.var.iloc[var_idx]

@@ -28,14 +28,26 @@ def normalize_total(X, target_sum: float = 1e6):
         )
         out_dtype = X.dtype if X.dtype.kind == "f" else np.float64
         # scale CSR rows in place on a fresh DATA array — only data mutates,
-        # so the output shares the source's indices/indptr instead of
+        # so the output can share the source's indices/indptr instead of
         # duplicating ~1 GB of index structure at atlas scale (a
-        # diag @ X spgemm is ~100x slower still at 1e8 nnz)
+        # diag @ X spgemm is ~100x slower still at 1e8 nnz). Sharing is
+        # only safe when neither side can later canonicalize in place
+        # (sort_indices/sum_duplicates reorder indices against the OTHER
+        # matrix's data) — so share exactly when the source is already
+        # canonical, making those calls no-ops on both.
         Xc = X.tocsr()
-        out = sp.csr_matrix(
-            (Xc.data.astype(out_dtype), Xc.indices, Xc.indptr),
-            shape=Xc.shape, copy=False,
-        )
+        if Xc.has_canonical_format:
+            out = sp.csr_matrix(
+                (Xc.data.astype(out_dtype), Xc.indices, Xc.indptr),
+                shape=Xc.shape, copy=False,
+            )
+            out.has_canonical_format = True
+        else:
+            out = sp.csr_matrix(
+                (Xc.data.astype(out_dtype), Xc.indices.copy(),
+                 Xc.indptr.copy()),
+                shape=Xc.shape, copy=False,
+            )
         scale = scale.astype(out_dtype)
         try:
             from scipy.sparse import _sparsetools

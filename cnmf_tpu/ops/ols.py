@@ -88,6 +88,10 @@ def efficient_ols_all_cols(
             mean_y, var_y = mean_var(Y)
         var_y = np.maximum(var_y, 1e-12)
         inv_std = (1.0 / np.sqrt(var_y)).astype(dtype)
+        # full-precision mean for the host-sparse branch below — the
+        # cancellation-prone XtY − (Uᵀ1)·mean correction must not re-inject
+        # a compute-dtype rounding of the mean
+        mean_y64 = np.asarray(mean_y, dtype=np.float64)
         mean_y = mean_y.astype(dtype)
 
     XtX = (U[:n].T @ U[:n]).astype(np.float64)
@@ -126,11 +130,15 @@ def efficient_ols_all_cols(
         U64 = U[:n].astype(np.float64)
         Yr = Y.tocsr()
         XtY = np.zeros((k, Y.shape[1]), dtype=np.float64)
-        rows_per = max(
-            1, int(SPMM_BLOCK_NNZ * Yr.shape[0] / max(Yr.nnz, 1))
-        )
-        for r0 in range(0, Yr.shape[0], rows_per):
-            r1 = min(r0 + rows_per, Yr.shape[0])
+        r0 = 0
+        while r0 < Yr.shape[0]:
+            # bound each block by ACTUAL nnz, not mean density — depth-skewed
+            # matrices (cells sorted by library size) would otherwise blow
+            # the ~200 MB per-block cast this loop exists to enforce
+            r1 = int(np.searchsorted(
+                Yr.indptr, int(Yr.indptr[r0]) + SPMM_BLOCK_NNZ, side="right"
+            )) - 1
+            r1 = min(max(r1, r0 + 1), Yr.shape[0])
             p0, p1 = int(Yr.indptr[r0]), int(Yr.indptr[r1])
             block = sp.csr_matrix(
                 (
@@ -141,9 +149,10 @@ def efficient_ols_all_cols(
                 shape=(r1 - r0, Yr.shape[1]), copy=False,
             )
             XtY += np.asarray((block.T @ U64[r0:r1])).T
+            r0 = r1
         if normalize_y:
             u_sum = U64.sum(axis=0)
-            XtY = (XtY - u_sum[:, None] * mean_y.astype(np.float64)[None, :]) \
+            XtY = (XtY - u_sum[:, None] * mean_y64[None, :]) \
                 * (1.0 / np.sqrt(var_y))[None, :]
     else:
         # host fallback: row-batched accumulation bounds memory at

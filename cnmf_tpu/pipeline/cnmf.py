@@ -259,9 +259,12 @@ class cNMF:
         if rows == list(range(batch.shape[0])):
             # complete in-order run (the common case): reshape is a VIEW of
             # the already-warm batch — the merged write streams straight from
-            # it with zero fresh pages faulted. Consumers are read-only (the
-            # artifact memo hands out copy-on-write slices).
+            # it with zero fresh pages faulted. The view is marked read-only:
+            # the frame escapes to combine_nmf's caller, and a caller
+            # writing through .values must raise rather than silently
+            # corrupt the memoized batch.
             values = batch.reshape(-1, batch.shape[2])
+            values.flags.writeable = False
         else:
             # the fancy index is a fresh contiguous copy at batch dtype;
             # upcasting it to f64 would change no value, only fault twice
@@ -401,6 +404,11 @@ class cNMF:
         thread = threading.Thread(target=run, name="cnmf-tpu-tpm-prefetch",
                                   daemon=True)
         self._tpm_prefetch_thread = thread
+        # daemon threads die abruptly at interpreter teardown — mid-h5py-read
+        # that can crash; atexit handlers run first, so join there for every
+        # entry point (CLI stage-per-process runs, scripts, notebooks)
+        import atexit
+        atexit.register(thread.join)
         thread.start()
 
     def _join_tpm_prefetch(self):

@@ -287,6 +287,8 @@ def refit_spectra_transposed(X, usages, nmf_kwargs, dtype=np.float32,
             Xt, np.ascontiguousarray(usages.T), nmf_kwargs, dtype=dtype,
             mu_chunk=mu_chunk,
         )
+    if beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius")) != 2.0:
+        raise ValueError("CD solver supports frobenius loss only")
     k = usages.shape[1]
     pad_k = -(-k // 8) * 8
     U = np.ascontiguousarray(usages, dtype=dtype)
@@ -375,6 +377,10 @@ def refit_usages(
             # host-sparse X never densifies anywhere: the CD refit consumes
             # only the spectra gram and P = X·Htᵀ — one host SpMM (O(nnz·k))
             # — and the device runs the tiny (N, pad_k) half-sweep loop.
+            if beta_loss_to_float(
+                nmf_kwargs.get("beta_loss", "frobenius")
+            ) != 2.0:
+                raise ValueError("CD solver supports frobenius loss only")
             n_real = X.shape[0] if n_rows is None else int(n_rows)
             l1_reg_W, _, l2_reg_W, _ = compute_regularization(
                 float(nmf_kwargs.get("alpha_W", 0.0)),

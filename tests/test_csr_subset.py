@@ -35,6 +35,36 @@ def test_subset_matches_scipy_unordered():
     assert (got != ref).nnz == 0
 
 
+def test_trailing_empty_rows_numpy_fallback(monkeypatch):
+    """Regression: the reduceat fallback must not steal the last stored
+    element of the final nonempty row when trailing rows are empty."""
+    import cnmf_tpu.native as native
+
+    monkeypatch.setattr(native, "csr_col_subset", lambda *a: None)
+    X = sp.csr_matrix(np.array([[1.0, 2.0, 3.0], [0, 0, 0]]))
+    got = csr_column_subset(X, np.array([0, 2]))
+    np.testing.assert_array_equal(got.toarray(), [[1.0, 3.0], [0.0, 0.0]])
+    # interleaved empty rows too
+    X2 = sp.csr_matrix(np.array([[0, 0, 0], [4.0, 0, 5.0], [0, 0, 0],
+                                 [0, 6.0, 7.0], [0, 0, 0]]))
+    got2 = csr_column_subset(X2, np.array([2, 1]))
+    np.testing.assert_array_equal(
+        got2.toarray(), [[0, 0], [5.0, 0], [0, 0], [7.0, 6.0], [0, 0]]
+    )
+
+
+def test_anndata_negative_int_indices_fall_back():
+    """Regression: negative positions alias through the gather table — they
+    must take the scipy route and still produce the right columns."""
+    import pandas as pd
+
+    X = _rand_csr(8, n=12, g=4, density=0.6)
+    ad = AnnData(X, var=pd.DataFrame(index=[f"g{j}" for j in range(4)]))
+    sub = ad[:, np.array([-1, 3])]
+    ref = X.tocsc()[:, [3, 3]].tocsr()
+    assert (sub.X != ref).nnz == 0
+
+
 def test_subset_empty_rows_and_all_columns_dropped():
     X = sp.csr_matrix(np.array([[0, 1, 0], [0, 0, 0], [2, 0, 3]], dtype=float))
     got = csr_column_subset(X, np.array([1]))

@@ -1,8 +1,16 @@
 """PCA on device.
 
 Replaces ``sc.pp.pca(zero_center=True)`` (reference preprocess.py:330) for the
-Harmony embedding. Centered SVD with sklearn's svd_flip sign convention so
+Harmony embedding, with sklearn's u-based ``svd_flip`` sign convention so
 components are deterministic.
+
+Implementation: eigendecomposition of the smaller Gram matrix rather than a
+direct SVD of the centered data. TPU's iterative SVD of a tall 100k×2000
+matrix computes all 2000 singular triplets and measured several hundred
+seconds; the Gram route is one MXU matmul (the (G,G) or (N,N) product) plus
+an eigh of the small square — the same top-``n_comps`` subspace at PCA-level
+accuracy (the embedding feeds Harmony's soft clustering, and the squared
+condition number of z-scored expression data is far from f32 limits).
 """
 
 from __future__ import annotations
@@ -13,20 +21,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cnmf_tpu.ops.nmf import MATMUL_PRECISION
+
 
 @functools.partial(jax.jit, static_argnames=("n_comps",))
-def _pca_svd(X: jax.Array, n_comps: int):
+def _pca_gram_features(X: jax.Array, n_comps: int):
+    """N >= G: eigh of the (G, G) feature Gram."""
     mean = jnp.mean(X, axis=0)
     Xc = X - mean
-    U, S, Vt = jnp.linalg.svd(Xc, full_matrices=False)
-    # svd_flip (u_based): make the largest-|u| entry of each column positive
-    max_idx = jnp.argmax(jnp.abs(U), axis=0)
-    signs = jnp.sign(U[max_idx, jnp.arange(U.shape[1])])
-    U = U * signs[None, :]
-    pcs = U[:, :n_comps] * S[None, :n_comps]
-    components = (Vt[:n_comps] * signs[:n_comps, None])
-    explained_var = (S**2) / (X.shape[0] - 1)
-    return pcs, components, explained_var[:n_comps]
+    G = jnp.dot(Xc.T, Xc, preferred_element_type=Xc.dtype,
+                precision=MATMUL_PRECISION)
+    evals, V = jnp.linalg.eigh(G)  # ascending
+    evals = jnp.maximum(evals[::-1], 0.0)
+    V = V[:, ::-1]
+    S = jnp.sqrt(evals[:n_comps])
+    Vk = V[:, :n_comps]
+    US = jnp.dot(Xc, Vk, preferred_element_type=Xc.dtype,
+                 precision=MATMUL_PRECISION)  # = U * S, (N, k)
+    # svd_flip (u_based): largest-|u| entry of each U column made positive
+    max_idx = jnp.argmax(jnp.abs(US), axis=0)
+    signs = jnp.sign(US[max_idx, jnp.arange(n_comps)])
+    pcs = US * signs[None, :]
+    components = (Vk * signs[None, :]).T
+    explained_var = evals[:n_comps] / (X.shape[0] - 1)
+    return pcs, components, explained_var
+
+
+@functools.partial(jax.jit, static_argnames=("n_comps",))
+def _pca_gram_rows(X: jax.Array, n_comps: int):
+    """N < G: eigh of the (N, N) row Gram (U lives there directly)."""
+    mean = jnp.mean(X, axis=0)
+    Xc = X - mean
+    G = jnp.dot(Xc, Xc.T, preferred_element_type=Xc.dtype,
+                precision=MATMUL_PRECISION)
+    evals, U = jnp.linalg.eigh(G)
+    evals = jnp.maximum(evals[::-1], 0.0)
+    U = U[:, ::-1]
+    S = jnp.sqrt(evals[:n_comps])
+    Uk = U[:, :n_comps]
+    max_idx = jnp.argmax(jnp.abs(Uk), axis=0)
+    signs = jnp.sign(Uk[max_idx, jnp.arange(n_comps)])
+    Uk = Uk * signs[None, :]
+    pcs = Uk * S[None, :]
+    safe_S = jnp.where(S > 0, S, 1.0)
+    components = jnp.dot((Uk / safe_S[None, :]).T, Xc,
+                         preferred_element_type=Xc.dtype,
+                         precision=MATMUL_PRECISION)
+    explained_var = evals[:n_comps] / (X.shape[0] - 1)
+    return pcs, components, explained_var
 
 
 def pca(X, n_comps: int = 50):
@@ -34,5 +76,6 @@ def pca(X, n_comps: int = 50):
     explained_variance)."""
     X = np.asarray(X, dtype=np.float32) if not isinstance(X, jax.Array) else X
     n_comps = min(n_comps, min(X.shape) - 1)
-    pcs, comps, ev = _pca_svd(jnp.asarray(X), n_comps)
+    fn = _pca_gram_features if X.shape[0] >= X.shape[1] else _pca_gram_rows
+    pcs, comps, ev = fn(jnp.asarray(X), n_comps)
     return np.asarray(pcs), np.asarray(comps), np.asarray(ev)

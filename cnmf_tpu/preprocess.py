@@ -25,6 +25,34 @@ from cnmf_tpu.ops.pca import pca as run_pca
 from cnmf_tpu import harmony as harmony_mod
 
 
+def _quantile_with_zeros(data: np.ndarray, n_zeros: int, q: float) -> float:
+    """``np.quantile`` (linear interpolation) of the virtual array formed by
+    ``data`` plus ``n_zeros`` implicit zeros, WITHOUT materializing it — the
+    sparse global-quantile a dense ``X.todense().reshape(-1)`` would compute
+    (at 100k×2000 that densify is ~1 GB for two order statistics)."""
+    total = data.size + n_zeros
+    if total == 0:
+        return float("nan")
+    h = q * (total - 1)
+    lo_rank, hi_rank = int(np.floor(h)), int(np.ceil(h))
+    n_neg = int((data < 0).sum())
+
+    def value_at(rank):
+        # merged order: sorted negatives | zeros | sorted non-negatives
+        if rank < n_neg:
+            return float(np.partition(data, rank)[rank])
+        if rank < n_neg + n_zeros:
+            return 0.0
+        r = rank - n_zeros
+        return float(np.partition(data, r)[r])
+
+    v_lo = value_at(lo_rank)
+    if hi_rank == lo_rank:
+        return v_lo
+    v_hi = value_at(hi_rank)
+    return v_lo + (h - lo_rank) * (v_hi - v_lo)
+
+
 def stdscale_quantile_celing(adata: AnnData, max_value=None, quantile_thresh=None):
     """Unit-variance scale (no centering) then clamp values above the global
     quantile (reference preprocess.py:21-29). Mutates adata.X."""
@@ -36,7 +64,11 @@ def stdscale_quantile_celing(adata: AnnData, max_value=None, quantile_thresh=Non
             X = np.minimum(X, max_value)
     if quantile_thresh is not None:
         if sp.issparse(X):
-            threshval = np.quantile(np.asarray(X.todense()).reshape(-1), quantile_thresh)
+            threshval = _quantile_with_zeros(
+                np.asarray(X.data, dtype=np.float64),
+                X.shape[0] * X.shape[1] - X.data.size,
+                quantile_thresh,
+            )
             X.data[X.data > threshval] = threshval
         else:
             threshval = np.quantile(np.asarray(X).reshape(-1), quantile_thresh)

@@ -195,6 +195,41 @@ def test_stdscale_max_value_ceiling():
     assert vals.max() <= 1.5 + 1e-9
 
 
+def test_sparse_quantile_matches_dense_materialization():
+    """The zero-aware global quantile must equal np.quantile of the fully
+    densified matrix (the reference's computation) across quantiles landing
+    in the zero block, at its edges, and among the positives."""
+    from cnmf_tpu.preprocess import _quantile_with_zeros, stdscale_quantile_celing
+
+    rng = np.random.RandomState(2)
+    S = sp.random(70, 40, density=0.3, random_state=rng, format="csr")
+    S.data = rng.gamma(2.0, 1.0, size=S.nnz)
+    dense_flat = np.asarray(S.todense()).reshape(-1)
+    for q in [0.05, 0.5, 0.69, 0.7, 0.71, 0.95, 0.9999, 1.0]:
+        ref = np.quantile(dense_flat, q)
+        got = _quantile_with_zeros(
+            S.data.astype(np.float64), S.shape[0] * S.shape[1] - S.nnz, q
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12,
+                                   err_msg=f"q={q}")
+    # negatives path (general helper contract, not reached by scaled counts)
+    data = np.array([-3.0, -1.0, 2.0, 5.0])
+    virtual = np.sort(np.concatenate([data, np.zeros(4)]))
+    for q in [0.0, 0.2, 0.45, 0.8, 1.0]:
+        np.testing.assert_allclose(
+            _quantile_with_zeros(data, 4, q), np.quantile(virtual, q)
+        )
+    # end-to-end: sparse ceiling equals the dense-materialized ceiling
+    adata_sp = AnnData(S.copy())
+    adata_dn = AnnData(np.asarray(S.todense()))
+    stdscale_quantile_celing(adata_sp, quantile_thresh=0.98)
+    stdscale_quantile_celing(adata_dn, quantile_thresh=0.98)
+    np.testing.assert_allclose(
+        np.asarray(adata_sp.X.todense()), np.asarray(adata_dn.X), rtol=1e-6,
+        atol=1e-9,
+    )
+
+
 def test_normalize_librarysize_path():
     adata = make_batched_adata(n_per_batch=60, n_genes=50)
     pp = Preprocess(random_seed=0)

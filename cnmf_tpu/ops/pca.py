@@ -34,13 +34,15 @@ def _pca_gram_features(X: jax.Array, n_comps: int):
     evals, V = jnp.linalg.eigh(G)  # ascending
     evals = jnp.maximum(evals[::-1], 0.0)
     V = V[:, ::-1]
-    S = jnp.sqrt(evals[:n_comps])
     Vk = V[:, :n_comps]
     US = jnp.dot(Xc, Vk, preferred_element_type=Xc.dtype,
                  precision=MATMUL_PRECISION)  # = U * S, (N, k)
-    # svd_flip (u_based): largest-|u| entry of each U column made positive
+    # svd_flip (u_based): largest-|u| entry of each U column made positive;
+    # a null direction (zero US column, rank-deficient input) keeps sign +1
+    # so its component row stays unit-norm instead of zeroing out
     max_idx = jnp.argmax(jnp.abs(US), axis=0)
     signs = jnp.sign(US[max_idx, jnp.arange(n_comps)])
+    signs = jnp.where(signs == 0, 1.0, signs)
     pcs = US * signs[None, :]
     components = (Vk * signs[None, :]).T
     explained_var = evals[:n_comps] / (X.shape[0] - 1)
@@ -61,6 +63,7 @@ def _pca_gram_rows(X: jax.Array, n_comps: int):
     Uk = U[:, :n_comps]
     max_idx = jnp.argmax(jnp.abs(Uk), axis=0)
     signs = jnp.sign(Uk[max_idx, jnp.arange(n_comps)])
+    signs = jnp.where(signs == 0, 1.0, signs)
     Uk = Uk * signs[None, :]
     pcs = Uk * S[None, :]
     safe_S = jnp.where(S > 0, S, 1.0)

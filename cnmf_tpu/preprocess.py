@@ -37,19 +37,24 @@ def _quantile_with_zeros(data: np.ndarray, n_zeros: int, q: float) -> float:
     lo_rank, hi_rank = int(np.floor(h)), int(np.ceil(h))
     n_neg = int((data < 0).sum())
 
-    def value_at(rank):
-        # merged order: sorted negatives | zeros | sorted non-negatives
+    def data_rank(rank):
+        # merged order: sorted negatives | zeros | sorted non-negatives;
+        # None = inside the zero block
         if rank < n_neg:
-            return float(np.partition(data, rank)[rank])
+            return rank
         if rank < n_neg + n_zeros:
-            return 0.0
-        r = rank - n_zeros
-        return float(np.partition(data, r)[r])
+            return None
+        return rank - n_zeros
 
-    v_lo = value_at(lo_rank)
+    r_lo, r_hi = data_rank(lo_rank), data_rank(hi_rank)
+    ks = sorted({r for r in (r_lo, r_hi) if r is not None})
+    part = np.partition(data, ks) if ks else None
+    # selection is exact at any dtype; only the two selected scalars (and
+    # the interpolation) promote to f64
+    v_lo = 0.0 if r_lo is None else float(part[r_lo])
     if hi_rank == lo_rank:
         return v_lo
-    v_hi = value_at(hi_rank)
+    v_hi = 0.0 if r_hi is None else float(part[r_hi])
     return v_lo + (h - lo_rank) * (v_hi - v_lo)
 
 
@@ -65,11 +70,17 @@ def stdscale_quantile_celing(adata: AnnData, max_value=None, quantile_thresh=Non
     if quantile_thresh is not None:
         if sp.issparse(X):
             threshval = _quantile_with_zeros(
-                np.asarray(X.data, dtype=np.float64),
+                np.asarray(X.data),
                 X.shape[0] * X.shape[1] - X.data.size,
                 quantile_thresh,
             )
-            X.data[X.data > threshval] = threshval
+            if threshval < 0:
+                # the ceiling must also pull implicit zeros down — only
+                # reachable with negative stored values (never from scaled
+                # counts); match the dense branch exactly
+                X = np.minimum(np.asarray(X.todense()), threshval)
+            else:
+                X.data[X.data > threshval] = threshval
         else:
             threshval = np.quantile(np.asarray(X).reshape(-1), quantile_thresh)
             X = np.minimum(X, threshval)

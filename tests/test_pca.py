@@ -34,6 +34,17 @@ def test_pca_matches_svd_oracle(shape):
     np.testing.assert_allclose(comps, ref_comps, rtol=5e-3, atol=5e-3)
 
 
+def test_pca_rank_deficient_keeps_unit_components():
+    rng = np.random.RandomState(2)
+    base = rng.standard_normal((50, 3))
+    X = base @ rng.standard_normal((3, 20))  # rank 3
+    pcs, comps, ev = pca(X, n_comps=6)
+    norms = np.linalg.norm(comps, axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+    # null directions carry (numerically) no variance
+    assert ev[3:].max() < 1e-6 * ev[0]
+
+
 def test_pca_reconstruction_quality():
     rng = np.random.RandomState(1)
     X = (rng.standard_normal((150, 40)) @ np.diag(np.linspace(5, 0.1, 40))).astype(np.float64)

@@ -219,6 +219,23 @@ def test_sparse_quantile_matches_dense_materialization():
         np.testing.assert_allclose(
             _quantile_with_zeros(data, 4, q), np.quantile(virtual, q)
         )
+    # a negative threshold must pull implicit zeros down too (degenerate
+    # branch; matrices with negative stored values only)
+    from cnmf_tpu.io.anndata_lite import AnnData as AD
+    import cnmf_tpu.preprocess as pp_mod
+    neg = sp.csr_matrix(np.array([[-5.0, 0.0], [0.0, -2.0]]))
+    ad_neg = AD(neg.copy())
+    orig_scale = pp_mod.scale_unit_variance
+    pp_mod.scale_unit_variance = lambda X, **kw: X  # isolate the clamp
+    try:
+        stdscale_quantile_celing(ad_neg, quantile_thresh=0.1)
+    finally:
+        pp_mod.scale_unit_variance = orig_scale
+    dense_ref = np.minimum(
+        neg.toarray(), np.quantile(neg.toarray().reshape(-1), 0.1)
+    )
+    got_neg = ad_neg.X.toarray() if sp.issparse(ad_neg.X) else np.asarray(ad_neg.X)
+    np.testing.assert_allclose(got_neg, dense_ref)
     # end-to-end: sparse ceiling equals the dense-materialized ceiling
     adata_sp = AnnData(S.copy())
     adata_dn = AnnData(np.asarray(S.todense()))

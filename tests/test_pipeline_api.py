@@ -270,6 +270,22 @@ def test_combine_return_value_mutation_is_harmless(run):
     np.testing.assert_array_equal(hit.values, disk.values)
 
 
+def test_combine_mixed_dtype_iter_files(run):
+    """Partial re-runs can mix eras: an old f64 per-iter file next to new
+    native-dtype files must invalidate the stack memo (stat change) and the
+    file-read fallback must still merge to the same values."""
+    from cnmf_tpu.io.dataframe import save_df_to_npz
+
+    before = load_df_from_npz(run.paths["merged_spectra"] % 5)
+    path2 = run.paths["iter_spectra"] % (5, 2)
+    old_era = load_df_from_npz(path2).astype(np.float64)
+    save_df_to_npz(old_era, path2)
+    merged = run.combine_nmf(5)
+    np.testing.assert_allclose(merged.values, before.values, rtol=0, atol=0)
+    disk = load_df_from_npz(run.paths["merged_spectra"] % 5)
+    np.testing.assert_allclose(disk.values, before.values, rtol=0, atol=0)
+
+
 def test_factorize_multi_process_notice(run, capsys):
     """The pool shim must say out loud that total_workers is absorbed by the
     batched device program (behavior change vs reference cnmf.py:677-689)."""

@@ -88,6 +88,44 @@ def test_ols_sparse_multiblock_matches_single(monkeypatch):
     np.testing.assert_allclose(got32, ref, rtol=2e-5, atol=1e-7)
 
 
+def test_consensus_sparse_atlas_kl_falls_back_to_gene_chunks(tmp_path):
+    """KL (MU) consensus on a sparse over-limit TPM cannot ride the CD
+    product path — it must take the gene-chunked refit and reproduce the
+    device-resident artifacts."""
+    rng = np.random.RandomState(13)
+    W = rng.gamma(0.7, 1.0, size=(80, 4))
+    H = rng.gamma(0.5, 1.0, size=(4, 120)) * (rng.rand(4, 120) < 0.35)
+    X = sp.csr_matrix(rng.poisson(W @ H * 2.0).astype(np.float64))
+    empty = np.asarray(X.sum(axis=1)).ravel() == 0
+    if empty.any():
+        X = X.tolil(); X[np.flatnonzero(empty), 0] = 1; X = X.tocsr()
+    fn = str(tmp_path / "ckl.h5ad")
+    write_h5ad(fn, AnnData(
+        X, obs=pd.DataFrame(index=[f"c{i}" for i in range(80)]),
+        var=pd.DataFrame(index=[f"g{j}" for j in range(120)]),
+    ))
+    obj = cNMF(output_dir=str(tmp_path), name="skl")
+    obj.prepare(counts_fn=fn, components=[4], n_iter=4, seed=3,
+                num_highvar_genes=80, beta_loss="kullback-leibler",
+                max_NMF_iter=120)
+    obj.factorize(verbose=False)
+    obj.combine()
+    obj.consensus(k=4, density_threshold=2.0, show_clustering=False)
+    dev_tpm = load_df_from_npz(obj.paths["gene_spectra_tpm"] % (4, "2_0"))
+    dev_usage = load_df_from_npz(obj.paths["consensus_usages"] % (4, "2_0"))
+    obj.tpm_device_bytes_limit = 1  # force the over-limit branch
+    try:
+        obj.consensus(k=4, density_threshold=2.0, show_clustering=False)
+    finally:
+        del obj.tpm_device_bytes_limit
+    for key, ref in [("gene_spectra_tpm", dev_tpm),
+                     ("consensus_usages", dev_usage)]:
+        got = load_df_from_npz(obj.paths[key] % (4, "2_0"))
+        scale = max(float((ref.values ** 2).sum()), 1e-12)
+        sse = float(((got.values - ref.values) ** 2).sum()) / scale
+        assert sse < 1e-5, (key, sse)
+
+
 def test_consensus_sparse_atlas_path_matches_device(tmp_path):
     """Force the >limit-TPM branch with a SPARSE input: the spectra refit,
     OLS and final refit must ride the SpMM product paths and reproduce the

@@ -75,16 +75,31 @@ def random_init_batch_device(
     Returns device arrays W0 (B, N, pad_k), Ht0 (B, G, pad_k) with
     components beyond ``n_components`` zeroed (the exact-no-op K bucketing).
     """
-    import jax
     import jax.numpy as jnp
 
     pad_k = pad_k or n_components
     avg = np.dtype(dtype).type(np.sqrt(x_mean / n_components))
 
+    seeds = jnp.asarray(np.asarray(seeds, dtype=np.uint32))
+    return _gen_device_init(
+        seeds, jnp.asarray(avg, dtype=dtype),
+        n=n_samples, g=n_features, k=n_components, pad_k=pad_k,
+        dt=jnp.dtype(dtype),
+    )
+
+
+# module scope so every restart chunk of every K hits the SAME jit cache
+# entry — a closure re-created per call misses the cache and re-traces
+@functools.lru_cache(maxsize=1)
+def _gen_device_init_jit():
+    import jax
+
     @functools.partial(
         jax.jit, static_argnames=("n", "g", "k", "pad_k", "dt")
     )
     def gen(seed_arr, avg_arr, *, n, g, k, pad_k, dt):
+        import jax.numpy as jnp
+
         def one(seed):
             key = jax.random.PRNGKey(seed)
             kh, kw = jax.random.split(key)
@@ -97,12 +112,11 @@ def random_init_batch_device(
 
         return jax.vmap(one)(seed_arr)
 
-    seeds = jnp.asarray(np.asarray(seeds, dtype=np.uint32))
-    return gen(
-        seeds, jnp.asarray(avg, dtype=dtype),
-        n=n_samples, g=n_features, k=n_components, pad_k=pad_k,
-        dt=jnp.dtype(dtype),
-    )
+    return gen
+
+
+def _gen_device_init(*args, **kwargs):
+    return _gen_device_init_jit()(*args, **kwargs)
 
 
 def nndsvd_init(X, n_components: int, eps: float = 1e-6, dtype=np.float32,

@@ -133,7 +133,9 @@ def _fused_k_stats(
                 l1_reg=l1_reg_W, l2_reg=l2_reg_W,
             )
     else:
-        n_elem = (n_cells * Xnc.shape[1]).astype(Xnc.dtype)
+        # multiply AFTER the float cast: n_cells is a traced int32 scalar and
+        # n_cells * G wraps negative past 2^31 elements (1M cells x 2k+ HVGs)
+        n_elem = jnp.asarray(n_cells).astype(Xnc.dtype) * Xnc.shape[1]
         avg = jnp.sqrt(jnp.sum(Xnc) / n_elem / n_clusters.astype(Xnc.dtype))
         W0 = jnp.full((1, N, n_cluster_pad), avg, Xnc.dtype)
         cellmask = jnp.arange(N) < n_cells

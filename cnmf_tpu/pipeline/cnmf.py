@@ -1179,6 +1179,14 @@ class cNMF:
         n_cells = norm_counts.X.shape[0]
         hvgs = open(self.paths["nmf_genes_list"]).read().split("\n")
         hvg_idx = tpm.var.index.get_indexer(hvgs)
+        if (hvg_idx < 0).any():
+            # a -1 would silently gather the LAST gene column in the fused
+            # device path; fail like the unfused `.loc` path does
+            missing = [h for h, i in zip(hvgs, hvg_idx) if i < 0][:5]
+            raise KeyError(
+                f"genes from {self.paths['nmf_genes_list']} missing from the "
+                f"TPM var index (stale gene list / re-prepared TPM?): {missing}"
+            )
         # the reference's sparse path guards zero stds (scanpy pp.scale),
         # its dense path divides unguarded — preserve per input kind
         zero_safe = sp.issparse(tpm.X)
@@ -1295,7 +1303,7 @@ class cNMF:
                 # (genes × cells) copy ever exists
                 spectra_tpm_vals = refit_spectra_transposed(
                     tpm_src, norm_usages.values.astype(self.compute_dtype),
-                    nmf_kwargs, dtype=self.compute_dtype,
+                    nmf_kwargs, dtype=self.compute_dtype, n_cells=n_cells,
                 ).T
             else:
                 # atlas fallback: the fixed-usage NNLS decomposes per gene, so

@@ -50,13 +50,20 @@ def compute_regularization(
     return float(l1_reg_W), float(l1_reg_H), float(l2_reg_W), float(l2_reg_H)
 
 
-def mu_pallas_eligible(beta: float, dtype) -> bool:
+def mu_pallas_eligible(beta: float, dtype, allow_sharded: bool = False) -> bool:
     """Whether the fused Pallas MU kernels apply (TPU backend, f32, beta≠2,
-    not opted out) — the same gate solve_nmf_batch uses."""
+    not opted out) — the same gate solve_nmf_batch uses.
+
+    ``pallas_call`` has no GSPMD partitioning rule, so on a multi-device
+    backend the kernels only apply per shard INSIDE shard_map — those call
+    sites pass ``allow_sharded=True``; everywhere else (fused consensus,
+    k-stats, plain refits, whose operands may carry cell-sharded
+    NamedShardings) multi-device disables Pallas."""
     return (
         beta != 2.0
         and jax.default_backend() == "tpu"
         and jnp.dtype(dtype) == jnp.float32
+        and (allow_sharded or jax.device_count() == 1)
         and os.environ.get("CNMF_TPU_PALLAS", "1") == "1"
     )
 
@@ -72,14 +79,21 @@ def cd_pallas_eligible(shape, dtype) -> bool:
     no GSPMD partitioning rule), and a data matrix whose H-kernel X
     column-tile — which carries the full row dimension — fits VMEM."""
     n_rows, n_cols = shape
-    return (
+    if not (
         os.environ.get("CNMF_TPU_PALLAS_CD", "0") == "1"
         and jax.default_backend() == "tpu"
         and jnp.dtype(dtype) == jnp.float32
         and jax.device_count() == 1
-        and n_rows <= 16384
         and n_cols <= 16384
-    )
+    ):
+        return False
+    # the H-kernel X tile is (padded_rows × tile_cols>=128): bound rows by
+    # the actual VMEM block budget, not a loose constant — plan_tiles floors
+    # tile_cols at 128, so rows beyond budget/(128·4B) would blow VMEM at
+    # compile time despite passing a naive 16384 gate
+    from cnmf_tpu.ops.pallas_cd import _VMEM_BLOCK_BUDGET
+
+    return n_rows <= _VMEM_BLOCK_BUDGET // (128 * 4)
 
 
 def solve_nmf_batch(
@@ -197,7 +211,10 @@ def solve_nmf_batch_sharded(
 
     beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
     solver = nmf_kwargs.get("solver", "cd")
-    use_pallas = mu_pallas_eligible(beta, np.asarray(W0).dtype)
+    # per-shard use inside shard_map — the one place multi-device Pallas
+    # is legitimate
+    use_pallas = mu_pallas_eligible(beta, np.asarray(W0).dtype,
+                                    allow_sharded=True)
     shmap_ok = (
         solver != "cd" and beta != 2.0 and mesh.shape["cell"] == 1
         and (use_pallas or force_shard_map)
@@ -261,7 +278,7 @@ def _match_factor_shardings(X, W0, Ht0):
 
 
 def refit_spectra_transposed(X, usages, nmf_kwargs, dtype=np.float32,
-                             mu_chunk: int = 8):
+                             mu_chunk: int = 8, n_cells=None):
     """Fixed-usage spectra refit via the transpose trick (reference
     cnmf.py:805-820, 948-955) WITHOUT materializing Xᵀ: the CD refit only
     consumes the usage gram and the contraction Xᵀ·U, so the (genes × cells)
@@ -296,13 +313,16 @@ def refit_spectra_transposed(X, usages, nmf_kwargs, dtype=np.float32,
         U = np.pad(U, ((0, 0), (0, pad_k - k)))
     if U.shape[0] < X.shape[0]:
         U = np.pad(U, ((0, X.shape[0] - U.shape[0]), (0, 0)))
-    # the reg scaling the materialized-transpose solve would see:
-    # its X is (genes × cells) → n_features = (padded) cell count
+    # the reg scaling the materialized-transpose solve would see: its X is
+    # (genes × cells) → n_features = the REAL cell count (``n_cells``) —
+    # zero-padded mesh rows are neutral in the products but must not
+    # inflate alpha scaling (the fused consensus and sklearn both scale by
+    # the real count)
     l1_reg_W, _, l2_reg_W, _ = compute_regularization(
         float(nmf_kwargs.get("alpha_W", 0.0)),
         nmf_kwargs.get("alpha_H", "same"),
         float(nmf_kwargs.get("l1_ratio", 0.0)),
-        (X.shape[1], X.shape[0]),
+        (X.shape[1], int(n_cells) if n_cells is not None else X.shape[0]),
     )
     Ud = jnp.asarray(U)
     gram = jnp.einsum(

@@ -106,6 +106,11 @@ def device_densify_csr(X, out_dtype=np.float32):
         Xc = Xc.copy()
         Xc.sum_duplicates()
     nnz = Xc.nnz
+    if nnz >= 2**31 or max(Xc.shape) >= 2**31:
+        raise ValueError(
+            f"device_densify_csr needs int32-addressable input "
+            f"(nnz={nnz}, shape={Xc.shape}); route through the sparse "
+            f"host path instead (device_densify_eligible gates this)")
     data = Xc.data.astype(out_dtype, copy=False)
     cols = Xc.indices.astype(np.int32, copy=False)
     indptr = Xc.indptr.astype(np.int32, copy=False)

@@ -89,10 +89,13 @@ def _cd_half_sweep(F, G, P, l1_reg: float, l2_reg: float):
     the per-restart summed |projected gradient| violation.
     """
     B, M, K = F.shape
-    if l2_reg != 0.0:
-        G = G + l2_reg * jnp.eye(K, dtype=G.dtype)
-    if l1_reg != 0.0:
-        P = P - l1_reg
+    # regs may be static Python floats (full solver: zero skips the op
+    # bit-exactly) or traced scalars (nnls_cd_from_products: one program
+    # across an alpha sweep)
+    if not (isinstance(l2_reg, (int, float)) and l2_reg == 0.0):
+        G = G + jnp.asarray(l2_reg, G.dtype) * jnp.eye(K, dtype=G.dtype)
+    if not (isinstance(l1_reg, (int, float)) and l1_reg == 0.0):
+        P = P - jnp.asarray(l1_reg, P.dtype)
 
     def col_update(t, carry):
         F, violation = carry
@@ -170,7 +173,7 @@ def nmf_coordinate_descent(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tol", "max_iter", "l1_reg", "l2_reg"),
+    static_argnames=("max_iter",),
 )
 def nnls_cd_from_products(
     gram: jax.Array,
@@ -195,7 +198,10 @@ def nnls_cd_from_products(
 
     Identical sweep and stopping semantics to the full solver: sweep 0
     defines ``violation_init``; a restart freezes when
-    ``violation / violation_init <= tol``. Returns (W, n_iter)."""
+    ``violation / violation_init <= tol``. ``tol``/``l1_reg``/``l2_reg`` are
+    traced operands (they only shift the stop test and G's diagonal / P), so
+    an alpha sweep reuses ONE compiled program — only ``max_iter`` shapes the
+    trace. Returns (W, n_iter)."""
     dtype = W0.dtype
     B = W0.shape[0]
 

@@ -66,10 +66,15 @@ def _pca_gram_rows(X: jax.Array, n_comps: int):
     signs = jnp.where(signs == 0, 1.0, signs)
     Uk = Uk * signs[None, :]
     pcs = Uk * S[None, :]
-    safe_S = jnp.where(S > 0, S, 1.0)
-    components = jnp.dot((Uk / safe_S[None, :]).T, Xc,
+    components = jnp.dot(Uk.T, Xc,
                          preferred_element_type=Xc.dtype,
                          precision=MATMUL_PRECISION)
+    # Vᵀ = S⁻¹UᵀXc has unit rows; renormalizing (instead of dividing by a
+    # guarded S) enforces that exactly AND gives null directions a unit-norm
+    # row — the same convention the feature-Gram branch produces, so
+    # rank-deficient results no longer depend on the N-vs-G shape
+    row_norms = jnp.linalg.norm(components, axis=1, keepdims=True)
+    components = components / jnp.maximum(row_norms, jnp.finfo(Xc.dtype).tiny)
     explained_var = evals[:n_comps] / (X.shape[0] - 1)
     return pcs, components, explained_var
 

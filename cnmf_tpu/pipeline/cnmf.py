@@ -21,6 +21,7 @@ import os
 import shutil
 import uuid
 import warnings
+import weakref
 from typing import Optional
 
 import numpy as np
@@ -406,9 +407,21 @@ class cNMF:
         self._tpm_prefetch_thread = thread
         # daemon threads die abruptly at interpreter teardown — mid-h5py-read
         # that can crash; atexit handlers run first, so join there for every
-        # entry point (CLI stage-per-process runs, scripts, notebooks)
-        import atexit
-        atexit.register(thread.join)
+        # entry point (CLI stage-per-process runs, scripts, notebooks).
+        # One bounded joiner per instance (not per call): repeated factorize
+        # calls must not stack handlers, and a prefetch stalled on the relay
+        # (link setup measured up to 400 s) must not wedge interpreter exit.
+        if not getattr(self, "_tpm_prefetch_atexit", False):
+            import atexit
+
+            def _join_at_exit(ref=weakref.ref(self)):
+                obj = ref()
+                t = getattr(obj, "_tpm_prefetch_thread", None) if obj else None
+                if t is not None:
+                    t.join(timeout=10.0)
+
+            atexit.register(_join_at_exit)
+            self._tpm_prefetch_atexit = True
         thread.start()
 
     def _join_tpm_prefetch(self):

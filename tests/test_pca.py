@@ -34,10 +34,13 @@ def test_pca_matches_svd_oracle(shape):
     np.testing.assert_allclose(comps, ref_comps, rtol=5e-3, atol=5e-3)
 
 
-def test_pca_rank_deficient_keeps_unit_components():
+@pytest.mark.parametrize("shape", [(50, 20), (20, 50)])
+def test_pca_rank_deficient_keeps_unit_components(shape):
+    # both Gram branches must share the null-direction convention:
+    # unit-norm component rows even past the input rank
     rng = np.random.RandomState(2)
-    base = rng.standard_normal((50, 3))
-    X = base @ rng.standard_normal((3, 20))  # rank 3
+    base = rng.standard_normal((shape[0], 3))
+    X = base @ rng.standard_normal((3, shape[1]))  # rank 3
     pcs, comps, ev = pca(X, n_comps=6)
     norms = np.linalg.norm(comps, axis=1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-4)

@@ -97,6 +97,50 @@ def _relay_probe():
     return time.perf_counter() - t0
 
 
+class ProgramCounter:
+    """Counts XLA program activity via jax monitoring events: cache
+    requests/hits/misses plus backend-compile and cached-load walls. The
+    fresh-process warm-start lever on this host is the number of programs
+    (each cached-executable load costs seconds through axon — CLAUDE.md)."""
+
+    def __init__(self):
+        self.requests = 0
+        self.hits = 0
+        self.misses = 0
+        self.compile_s = 0.0
+        self.load_s = 0.0
+
+    def install(self):
+        from jax._src import monitoring
+
+        def on_event(event, **kw):
+            if event == "/jax/compilation_cache/compile_requests_use_cache":
+                self.requests += 1
+            elif event == "/jax/compilation_cache/cache_hits":
+                self.hits += 1
+            elif event == "/jax/compilation_cache/cache_misses":
+                self.misses += 1
+
+        def on_duration(event, duration_secs, **kw):
+            if event == "/jax/core/compile/backend_compile_duration":
+                self.compile_s += duration_secs
+            elif event == "/jax/compilation_cache/cache_retrieval_time_sec":
+                self.load_s += duration_secs
+
+        monitoring.register_event_listener(on_event)
+        monitoring.register_event_duration_secs_listener(on_duration)
+        return self
+
+    def snapshot(self):
+        return {
+            "requests": self.requests,
+            "loaded_from_cache": self.hits,
+            "compiled": self.misses,
+            "backend_compile_s": round(self.compile_s, 2),
+            "cache_load_s": round(self.load_s, 2),
+        }
+
+
 def _run_once(workdir, name, counts_fn, ks, n_iter, hvg, k_cons):
     """prepare → factorize → combine → consensus under a fresh run name;
     returns per-stage walls plus the factorize FLOP accounting inputs."""
@@ -113,8 +157,11 @@ def _run_once(workdir, name, counts_fn, ks, n_iter, hvg, k_cons):
     t0 = time.perf_counter()
     obj.factorize(verbose=False)
     t_factorize = time.perf_counter() - t0
+    phases = getattr(obj, "_factorize_phases", None)
     log(f"[bench:{name}] factorize ({len(ks)} K x {n_iter} restarts): "
-        f"{t_factorize:.2f}s")
+        f"{t_factorize:.2f}s"
+        + (f" phases={ {k: round(v, 2) if isinstance(v, float) else v for k, v in phases.items()} }"
+           if phases else ""))
 
     cd_flops = 0.0
     try:
@@ -143,7 +190,42 @@ def _run_once(workdir, name, counts_fn, ks, n_iter, hvg, k_cons):
         "consensus": t_consensus,
         "total": t_factorize + t_combine + t_consensus,
         "cd_flops": cd_flops,
+        "factorize_phases": (
+            {k: round(v, 3) if isinstance(v, float) else v
+             for k, v in phases.items()} if phases else None
+        ),
     }
+
+
+def _run_kl_once(workdir, name, counts_fn, k, n_iter, hvg):
+    """One beta!=2 factorize (KL multiplicative updates — the Pallas MU
+    kernels, ops/pallas_mu.py) so the KL path has a driver-visible number.
+    Reference MU solver being replaced: cnmf.py:618-627."""
+    from cnmf_tpu import cNMF
+    from cnmf_tpu.io.h5ad import read_h5ad_shape
+
+    obj = cNMF(output_dir=workdir, name=name)
+    obj.prepare(counts_fn=counts_fn, components=[k], n_iter=n_iter, seed=14,
+                num_highvar_genes=hvg, beta_loss="kullback-leibler",
+                max_NMF_iter=200)
+    t0 = time.perf_counter()
+    obj.factorize(verbose=False)
+    t_factorize = time.perf_counter() - t0
+
+    # analytic MU FLOPs: each KL iteration recomputes WH and the two
+    # ratio-product matmuls per factor update — 4 N·G·K-matmuls at 2 FLOP/MAC
+    mu_flops = 0.0
+    try:
+        n_cells = read_h5ad_shape(obj.paths["normalized_counts"])[0]
+        for pad_k, n_iter_h in getattr(obj, "_sweep_counts", []):
+            iters = float(np.asarray(n_iter_h).sum())
+            mu_flops += 8.0 * n_cells * hvg * pad_k * iters
+    except Exception as e:
+        log(f"[bench:{name}] kl flops accounting skipped: {e}")
+    log(f"[bench:{name}] kl factorize (K={k} x {n_iter}): {t_factorize:.2f}s"
+        + (f", {mu_flops / t_factorize / 1e12:.1f} TFLOP/s analytic"
+           if mu_flops else ""))
+    return {"factorize": t_factorize, "mu_flops": mu_flops}
 
 
 def main():
@@ -154,6 +236,9 @@ def main():
     # 1e-4 sklearn-parity budget is untouched. Library default stays
     # 'highest'; override via the env var.
     os.environ.setdefault("CNMF_TPU_MATMUL_PRECISION", "high")
+    # wall-clock decomposition of factorize into the bench artifact
+    # (upload / init / dispatch / solve-wait / result-fetch / write)
+    os.environ.setdefault("CNMF_TPU_PHASES", "1")
 
     # Persistent compilation cache: the solver programs are shape-stable
     # (K bucketing), so everything after the first-ever run reuses compiled
@@ -164,6 +249,7 @@ def main():
     # persist even sub-second compiles: a consensus pass runs ~20 small
     # programs that would otherwise recompile in every fresh process
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    counter = ProgramCounter().install()
 
     import pandas as pd
 
@@ -199,13 +285,29 @@ def main():
         probe = _relay_probe()
         log(f"[bench] device warmup: {t_link:.2f}s, relay probe: {probe:.3f}s")
 
+        c0 = counter.snapshot()
         runs = [_run_once(workdir, "bench_r1", counts_fn, ks, n_iter, hvg, k_cons)]
+        c1 = counter.snapshot()
+        congested = False
         if runs[0]["total"] <= _SECOND_RUN_BUDGET_S:
             runs.append(
                 _run_once(workdir, "bench_r2", counts_fn, ks, n_iter, hvg, k_cons)
             )
         else:
             log(f"[bench] skipping second pass (first took {runs[0]['total']:.0f}s)")
+            congested = True
+        programs_run1 = {
+            k: round(c1[k] - c0[k], 2) if isinstance(c1[k], float) else c1[k] - c0[k]
+            for k in c1
+        }
+
+        # one KL (beta!=2) factorize so the Pallas MU path has a measured
+        # number — K=10 x n_iter on the same matrix
+        try:
+            kl = _run_kl_once(workdir, "bench_kl", counts_fn, k_cons, n_iter, hvg)
+        except Exception as e:
+            log(f"[bench] kl stage failed: {e}")
+            kl = None
 
         best = min(runs, key=lambda r: r["total"])
         total = best["total"]
@@ -221,6 +323,17 @@ def main():
 
         n_runs = len(ks) * n_iter
         baseline_s = 2.0 * n_runs  # reference ≈2 s/run on CPU (BASELINE.md)
+        if probe > 1.0:
+            congested = True
+        kl_out = None
+        if kl and kl.get("mu_flops"):
+            kl_out = {
+                "factorize_s": round(kl["factorize"], 2),
+                "tflops_analytic": round(kl["mu_flops"] / 1e12, 1),
+                "tflops_per_s": round(kl["mu_flops"] / kl["factorize"] / 1e12, 2),
+            }
+            if peak:
+                kl_out["mfu"] = round(kl["mu_flops"] / kl["factorize"] / peak, 4)
         print(json.dumps({
             "metric": "factorize(K=%d-%d x %d)+combine+consensus(K=%d) wall, "
                       "PBMC-3k-scale, min of %d runs"
@@ -232,6 +345,7 @@ def main():
             "mfu": round(mfu, 4) if mfu is not None else None,
             "runs": [round(r["total"], 2) for r in runs],
             "relay_probe_s": round(probe, 3),
+            "congested": congested,
             "stages": {
                 "prepare": round(best["prepare"], 2),
                 "link_setup": round(t_link, 2),
@@ -239,6 +353,12 @@ def main():
                 "combine": round(best["combine"], 2),
                 "consensus": round(best["consensus"], 2),
             },
+            "factorize_phases": best.get("factorize_phases"),
+            "kl_factorize": kl_out,
+            # programs touched by ONE full fresh pipeline pass (run 1):
+            # compiled = fresh XLA compiles, loaded_from_cache = persistent-
+            # cache executable loads (the fresh-process warm-start cost)
+            "programs_run1": programs_run1,
         }))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

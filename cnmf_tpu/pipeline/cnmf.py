@@ -75,6 +75,10 @@ import threading
 # and instances stay picklable for the multiprocessing shim)
 _MEMO_LOCK = threading.Lock()
 
+# (B, G, K) solver output → (B, K, G) fetch layout; a device transpose makes
+# the host-side spectra buffer row-contiguous per spectrum (see factorize)
+_swap_components_genes = jax.jit(lambda h: jnp.swapaxes(h, 1, 2))
+
 # guards the h5ad read cache: the TPM prefetch thread (factorize) and the
 # main thread (consensus) may populate it concurrently
 _H5AD_LOCK = threading.Lock()
@@ -676,6 +680,19 @@ class cNMF:
         # per-K (padded_k, n_iter_handle) records — bench.py derives analytic
         # CD FLOPs (4·N·G·K per sweep per restart) from these
         self._sweep_counts = []
+        # optional wall-clock decomposition of factorize (upload / init /
+        # dispatch / solve-wait / result-fetch / write + byte counts) for the
+        # bench artifact; adds one tiny forcing fetch after the X upload, so
+        # it is opt-in (bench.py sets the env)
+        phases = (
+            {"upload_s": 0.0, "init_s": 0.0, "dispatch_s": 0.0,
+             "solve_wait_s": 0.0, "result_fetch_s": 0.0, "write_s": 0.0,
+             "upload_bytes": 0, "result_bytes": 0}
+            if os.environ.get("CNMF_TPU_PHASES", "0") == "1" else None
+        )
+        self._factorize_phases = phases
+        import time as _time
+        _tup = _time.perf_counter()
 
         from cnmf_tpu.ops.device_densify import device_densify_eligible
 
@@ -691,12 +708,20 @@ class cNMF:
             dense_bytes = (
                 X.shape[0] * X.shape[1] * self.compute_dtype.itemsize
             )
+            link_bytes = X.nnz * (self.compute_dtype.itemsize + 4)
         else:
             # threaded native CSR->dense with fused dtype cast (cnmf_tpu.native)
             X = densify_csr(norm_counts.X, out_dtype=self.compute_dtype)
             X = np.ascontiguousarray(X)
             Xd = jnp.asarray(X)
             dense_bytes = X.nbytes
+            link_bytes = X.nbytes
+        if phases is not None:
+            # force the upload to completion with a 4-byte dependent fetch
+            # (block_until_ready does not force completion through the relay)
+            float(jnp.sum(Xd[0, :1]))
+            phases["upload_s"] = _time.perf_counter() - _tup
+            phases["upload_bytes"] = int(link_bytes)
         # seed the consensus-stage cache: a same-process consensus /
         # k_selection sweep reuses this device buffer instead of paying the
         # densify + upload again (skipped at atlas scale to not pin HBM, and
@@ -738,10 +763,29 @@ class cNMF:
         with ThreadPoolExecutor(max_workers=8) as pool:
 
             def drain(k, iters, handles):
-                spectra_batch = np.concatenate(
-                    [np.asarray(Ht[:, :, :k]).transpose(0, 2, 1) for Ht in handles],
-                    axis=0,
+                # handles are (B_chunk, pad_k, G) — transposed ON DEVICE and
+                # already streaming host-ward via copy_to_host_async, so this
+                # np.asarray is usually a wait on bytes in flight, overlapped
+                # with the later Ks' device solves
+                if phases is not None:
+                    _t0 = _time.perf_counter()
+                    for Ht in handles:
+                        if isinstance(Ht, jax.Array):
+                            # 4-byte dependent fetch = solve-completion barrier
+                            float(jnp.sum(Ht[0, 0, :1]))
+                    _t1 = _time.perf_counter()
+                    phases["solve_wait_s"] += _t1 - _t0
+                arrs = [np.asarray(Ht) for Ht in handles]
+                spectra_batch = (
+                    arrs[0][:, :k, :] if len(arrs) == 1
+                    else np.concatenate([a[:, :k, :] for a in arrs], axis=0)
                 )
+                if phases is not None:
+                    _t2 = _time.perf_counter()
+                    phases["result_fetch_s"] += _t2 - _t1
+                    phases["result_bytes"] += sum(
+                        int(np.prod(a.shape)) * a.itemsize for a in arrs
+                    )
 
                 def write_one(args, k=k, spectra_batch=spectra_batch):
                     i, it = args
@@ -762,6 +806,8 @@ class cNMF:
 
                 stats = list(pool.map(write_one, enumerate(iters)))
                 self._memo_spectra_stack(k, stats, spectra_batch, gene_index)
+                if phases is not None:
+                    phases["write_s"] += _time.perf_counter() - _t2
 
             for k, group in sub.groupby("n_components", sort=True):
                 k = int(k)
@@ -792,8 +838,9 @@ class cNMF:
     ):
         """All restarts for one K: init on host (sklearn-RNG-compatible),
         solve batched on device. Returns spectra (B, k, G), or — with
-        ``fetch=False`` — the list of per-chunk device Ht handles so the
-        caller can overlap subsequent host work with the device solve.
+        ``fetch=False`` — per-chunk (B, pad_k, G) device-transposed spectra
+        handles (host copies already in flight) so the caller can overlap
+        subsequent host work with the device solve and the result transfer.
 
         ``pad_k``: zero-pad the component axis to this width so different K
         values reuse one compiled program (exact no-op, see factorize())."""
@@ -886,12 +933,29 @@ class cNMF:
             if hasattr(self, "_sweep_counts"):
                 self._sweep_counts.append((pad_k, n_iter))
             _t2 = _time.perf_counter()
+            phases = getattr(self, "_factorize_phases", None)
+            if phases is not None:
+                phases["init_s"] += _t1 - _t0
+                phases["dispatch_s"] += _t2 - _t1
+            # transpose to (B, pad_k, G) ON DEVICE: the fetched buffer is then
+            # row-contiguous per spectrum, so every downstream host step
+            # (per-iter file writes, the merged stack memo) is a cheap view
+            # instead of a strided 65 MB gather
+            Hs = _swap_components_genes(Ht) if isinstance(Ht, jax.Array) \
+                else np.swapaxes(np.asarray(Ht), 1, 2)
+            if isinstance(Hs, jax.Array) and not fetch and chunk >= B:
+                try:
+                    # start the device→host bytes moving NOW — the transfer
+                    # rides the relay while the next K's solve executes
+                    Hs.copy_to_host_async()
+                except Exception:
+                    pass  # sharded arrays may not support async host copies
             if not fetch:
                 # in restart-chunked (atlas) mode, sync-fetch per chunk so at
                 # most one chunk's buffers are live on device at a time
-                out.append(np.asarray(Ht) if chunk < B else Ht)
+                out.append(np.asarray(Hs) if chunk < B else Hs)
                 continue
-            fetched = np.asarray(Ht[:, :, :k])
+            fetched = np.asarray(Hs)[:, :k, :]
             if trace:
                 _t3 = _time.perf_counter()
                 import sys
@@ -900,7 +964,7 @@ class cNMF:
                     f"solve {_t2-_t1:.2f}s fetch {_t3-_t2:.2f}s",
                     file=sys.stderr, flush=True,
                 )
-            out.append(fetched.transpose(0, 2, 1))  # (B, k, G)
+            out.append(fetched)  # (B, k, G)
         if not fetch:
             return out
         return np.concatenate(out, axis=0)

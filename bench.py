@@ -23,11 +23,20 @@ Prints ONE JSON line:
                  cached across runs)
   value_cold   = true fresh-process end-to-end: prepare + device-link setup
                  + the FIRST run's three stages
-  mfu          = analytic CD FLOPs (4·N·G·K_padded per sweep per restart,
-                 the two flattened MXU matmuls) / best factorize wall / the
-                 device's peak dense-matmul FLOP/s. At matmul precision
-                 'high' each logical f32 MAC costs ~3 bf16 passes, so the
-                 algorithmic-MFU ceiling is ~1/3 before memory effects.
+  mfu          = USEFUL analytic CD FLOPs (4·N·G·K_padded per sweep per
+                 restart, each restart's own converged sweep count) / best
+                 factorize wall / the device's peak dense-matmul FLOP/s. At
+                 matmul precision 'high' each logical f32 MAC costs ~3 bf16
+                 passes, so the algorithmic-MFU ceiling is ~1/3 before
+                 memory effects.
+  mfu_device_executed = the same ratio over the FLOPs the chip actually
+                 executes: a restart batch runs to its SLOWEST restart
+                 (exact sklearn per-restart convergence, frozen restarts
+                 still occupy the batched matmuls), measured ~2.6x the
+                 useful count on this workload. The gap between the two MFU
+                 figures is convergence-semantics overhead, not link or
+                 kernel inefficiency (see factorize_phases for the
+                 link/host split).
   vs_baseline  = reference-extrapolated CPU seconds / value (speedup ×).
                  Baseline: the reference's tutorial anecdote is ~240 s for
                  120 runs on CPU (BASELINE.md) → 2 s/run × 900 runs = 1800 s.
@@ -163,12 +172,19 @@ def _run_once(workdir, name, counts_fn, ks, n_iter, hvg, k_cons):
         + (f" phases={ {k: round(v, 2) if isinstance(v, float) else v for k, v in phases.items()} }"
            if phases else ""))
 
+    # useful FLOPs: each restart's own sweep count. device FLOPs: what the
+    # chip actually executes — a batch runs to its SLOWEST restart (exact
+    # sklearn per-restart convergence; frozen restarts still occupy the
+    # batched matmuls). The ratio (~2.6x here) is convergence-semantics
+    # overhead, not link or kernel inefficiency.
     cd_flops = 0.0
+    dev_flops = 0.0
     try:
         n_cells = read_h5ad_shape(obj.paths["normalized_counts"])[0]
         for pad_k, n_iter_h in getattr(obj, "_sweep_counts", []):
-            sweeps = float(np.asarray(n_iter_h).sum())
-            cd_flops += 4.0 * n_cells * hvg * pad_k * sweeps
+            n_arr = np.asarray(n_iter_h)
+            cd_flops += 4.0 * n_cells * hvg * pad_k * float(n_arr.sum())
+            dev_flops += 4.0 * n_cells * hvg * pad_k * float(n_arr.max()) * len(n_arr)
     except Exception as e:
         log(f"[bench:{name}] flops accounting skipped: {e}")
 
@@ -190,6 +206,7 @@ def _run_once(workdir, name, counts_fn, ks, n_iter, hvg, k_cons):
         "consensus": t_consensus,
         "total": t_factorize + t_combine + t_consensus,
         "cd_flops": cd_flops,
+        "dev_flops": dev_flops,
         "factorize_phases": (
             {k: round(v, 3) if isinstance(v, float) else v
              for k, v in phases.items()} if phases else None
@@ -316,10 +333,16 @@ def main():
             best["cd_flops"] / best["factorize"] / peak
             if (peak and best["cd_flops"]) else None
         )
+        mfu_device = (
+            best["dev_flops"] / best["factorize"] / peak
+            if (peak and best["dev_flops"]) else None
+        )
         if best["cd_flops"]:
-            log(f"[bench] best factorize: {best['cd_flops']/1e12:.1f} TFLOP analytic, "
+            log(f"[bench] best factorize: {best['cd_flops']/1e12:.1f} TFLOP useful "
+                f"({best['dev_flops']/1e12:.1f} executed), "
                 f"{best['cd_flops']/best['factorize']/1e12:.1f} TFLOP/s"
-                + (f", mfu {mfu:.3f}" if mfu else ""))
+                + (f", mfu {mfu:.3f} useful / {mfu_device:.3f} executed"
+                   if mfu else ""))
 
         n_runs = len(ks) * n_iter
         baseline_s = 2.0 * n_runs  # reference ≈2 s/run on CPU (BASELINE.md)
@@ -343,6 +366,9 @@ def main():
             "vs_baseline": round(baseline_s / total, 2),
             "value_cold": round(runs[0]["prepare"] + t_link + runs[0]["total"], 2),
             "mfu": round(mfu, 4) if mfu is not None else None,
+            "mfu_device_executed": (
+                round(mfu_device, 4) if mfu_device is not None else None
+            ),
             "runs": [round(r["total"], 2) for r in runs],
             "relay_probe_s": round(probe, 3),
             "congested": congested,

@@ -90,51 +90,53 @@ def _load():
 
 
 def _bind_symbols(lib) -> None:
-    for name, data_t in [
-        ("densify_csr_f32", ctypes.c_float),
-        ("densify_csr_f64", ctypes.c_double),
-    ]:
-        fn = getattr(lib, name)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    # every kernel exists for int32 and int64 stored-index dtypes (scipy
+    # promotes indices to int64 at nnz >= 2^31); the _i64 suffix selects
+    for suffix, idx_p in [("", i32p), ("_i64", i64p)]:
+        for name, data_t in [
+            ("densify_csr_f32", ctypes.c_float),
+            ("densify_csr_f64", ctypes.c_double),
+        ]:
+            fn = getattr(lib, name + suffix)
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.POINTER(data_t), idx_p, i64p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(data_t),
+            ]
+        fn = getattr(lib, "densify_csr_f64_to_f32" + suffix)
         fn.restype = None
         fn.argtypes = [
-            ctypes.POINTER(data_t), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.c_int64, ctypes.POINTER(data_t),
+            f64p, idx_p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
         ]
-    lib.densify_csr_f64_to_f32.restype = None
-    lib.densify_csr_f64_to_f32.argtypes = [
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_float),
-    ]
-    for name, data_t in [
-        ("csr_col_moments_f64", ctypes.c_double),
-        ("csr_col_moments_f32", ctypes.c_float),
-    ]:
-        fn = getattr(lib, name)
-        fn.restype = None
-        fn.argtypes = [
-            ctypes.POINTER(data_t), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-        ]
-    lib.csr_col_subset_count.restype = ctypes.c_int64
-    lib.csr_col_subset_count.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int32),
-    ]
-    for name, data_t in [
-        ("csr_col_subset_fill_f64", ctypes.c_double),
-        ("csr_col_subset_fill_f32", ctypes.c_float),
-    ]:
-        fn = getattr(lib, name)
-        fn.restype = None
-        fn.argtypes = [
-            ctypes.POINTER(data_t), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(data_t),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
-        ]
+        for name, data_t in [
+            ("csr_col_moments_f64", ctypes.c_double),
+            ("csr_col_moments_f32", ctypes.c_float),
+        ]:
+            fn = getattr(lib, name + suffix)
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.POINTER(data_t), idx_p,
+                ctypes.c_int64, ctypes.c_int64, f64p, f64p,
+            ]
+        fn = getattr(lib, "csr_col_subset_count" + suffix)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [idx_p, ctypes.c_int64, i32p]
+        # fill outputs indices at the INPUT index dtype (uniform scipy dtype,
+        # no post-hoc recast over nnz-length arrays)
+        for name, data_t in [
+            ("csr_col_subset_fill_f64", ctypes.c_double),
+            ("csr_col_subset_fill_f32", ctypes.c_float),
+        ]:
+            fn = getattr(lib, name + suffix)
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.POINTER(data_t), idx_p, i64p, ctypes.c_int64,
+                i32p, ctypes.POINTER(data_t), idx_p, i64p,
+            ]
 
 
 def csr_col_moments(X):
@@ -143,21 +145,26 @@ def csr_col_moments(X):
     or the matrix layout/dtype isn't covered (caller falls back to numpy)."""
     if not sp.isspmatrix_csr(X) or X.dtype not in (np.float64, np.float32):
         return None
+    if X.indices.dtype not in (np.int32, np.int64):
+        return None
     lib = _load()
     if lib is None:
         return None
-    if X.indices.dtype != np.int32:
-        return None  # >2^31 columns index space — numpy fallback
+    suffix = "_i64" if X.indices.dtype == np.int64 else ""
+    idx_t = ctypes.c_int64 if suffix else ctypes.c_int32
     data = np.ascontiguousarray(X.data)
     indices = np.ascontiguousarray(X.indices)
     s = np.zeros(X.shape[1], dtype=np.float64)
     q = np.zeros(X.shape[1], dtype=np.float64)
-    fn = (lib.csr_col_moments_f64 if X.dtype == np.float64
-          else lib.csr_col_moments_f32)
+    fn = getattr(
+        lib,
+        ("csr_col_moments_f64" if X.dtype == np.float64
+         else "csr_col_moments_f32") + suffix,
+    )
     data_t = ctypes.c_double if X.dtype == np.float64 else ctypes.c_float
     fn(
         data.ctypes.data_as(ctypes.POINTER(data_t)),
-        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        indices.ctypes.data_as(ctypes.POINTER(idx_t)),
         np.int64(data.size), np.int64(X.shape[1]),
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -173,34 +180,41 @@ def csr_col_subset(X, lookup):
     to the numpy path)."""
     if not sp.isspmatrix_csr(X) or X.dtype not in (np.float64, np.float32):
         return None
-    if X.indices.dtype != np.int32:
+    if X.indices.dtype not in (np.int32, np.int64):
         return None
     lib = _load()
     if lib is None:
         return None
+    suffix = "_i64" if X.indices.dtype == np.int64 else ""
+    idx_t = ctypes.c_int64 if suffix else ctypes.c_int32
+    idx_p = ctypes.POINTER(idx_t)
     data = np.ascontiguousarray(X.data)
     indices = np.ascontiguousarray(X.indices)
     indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
     lookup = np.ascontiguousarray(lookup, dtype=np.int32)
     i32 = ctypes.POINTER(ctypes.c_int32)
-    kept = lib.csr_col_subset_count(
-        indices.ctypes.data_as(i32), np.int64(data.size),
+    kept = getattr(lib, "csr_col_subset_count" + suffix)(
+        indices.ctypes.data_as(idx_p), np.int64(data.size),
         lookup.ctypes.data_as(i32),
     )
     out_data = np.empty(kept, dtype=X.dtype)
-    out_indices = np.empty(kept, dtype=np.int32)
+    # keep the input's index dtype: uniform scipy index arrays, no recast
+    out_indices = np.empty(kept, dtype=X.indices.dtype)
     out_indptr = np.empty(X.shape[0] + 1, dtype=np.int64)
     data_t = ctypes.c_double if X.dtype == np.float64 else ctypes.c_float
-    fn = (lib.csr_col_subset_fill_f64 if X.dtype == np.float64
-          else lib.csr_col_subset_fill_f32)
+    fn = getattr(
+        lib,
+        ("csr_col_subset_fill_f64" if X.dtype == np.float64
+         else "csr_col_subset_fill_f32") + suffix,
+    )
     fn(
         data.ctypes.data_as(ctypes.POINTER(data_t)),
-        indices.ctypes.data_as(i32),
+        indices.ctypes.data_as(idx_p),
         indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         np.int64(X.shape[0]),
         lookup.ctypes.data_as(i32),
         out_data.ctypes.data_as(ctypes.POINTER(data_t)),
-        out_indices.ctypes.data_as(i32),
+        out_indices.ctypes.data_as(idx_p),
         out_indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out_data, out_indices, out_indptr
@@ -220,34 +234,43 @@ def densify_csr(X, out_dtype=None) -> np.ndarray:
 
     lib = _load()
     n_rows, n_cols = Xc.shape
-    indices = np.ascontiguousarray(Xc.indices, dtype=np.int32)
+    # stream indices at their stored dtype — recasting int64 indices at
+    # >2.1B nnz would materialize an 8+ GB temp on a slow-first-touch host
+    if Xc.indices.dtype in (np.int32, np.int64):
+        indices = np.ascontiguousarray(Xc.indices)
+    else:
+        indices = np.ascontiguousarray(Xc.indices, dtype=np.int32)
+    suffix = "_i64" if indices.dtype == np.int64 else ""
+    idx_p = ctypes.POINTER(
+        ctypes.c_int64 if suffix else ctypes.c_int32
+    )
     indptr = np.ascontiguousarray(Xc.indptr, dtype=np.int64)
 
     if lib is not None:
         out = np.empty((n_rows, n_cols), dtype=out_dtype)
-        i32 = indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        ip = indices.ctypes.data_as(idx_p)
         i64 = indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         if Xc.dtype == np.float64 and out_dtype == np.float32:
             data = np.ascontiguousarray(Xc.data)
-            lib.densify_csr_f64_to_f32(
+            getattr(lib, "densify_csr_f64_to_f32" + suffix)(
                 data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                i32, i64, n_rows, n_cols,
+                ip, i64, n_rows, n_cols,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             )
             return out
         if out_dtype == np.float32:
             data = np.ascontiguousarray(Xc.data, dtype=np.float32)
-            lib.densify_csr_f32(
+            getattr(lib, "densify_csr_f32" + suffix)(
                 data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                i32, i64, n_rows, n_cols,
+                ip, i64, n_rows, n_cols,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             )
             return out
         if out_dtype == np.float64:
             data = np.ascontiguousarray(Xc.data, dtype=np.float64)
-            lib.densify_csr_f64(
+            getattr(lib, "densify_csr_f64" + suffix)(
                 data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                i32, i64, n_rows, n_cols,
+                ip, i64, n_rows, n_cols,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             )
             return out

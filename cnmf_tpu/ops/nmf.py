@@ -424,6 +424,153 @@ def nmf_coordinate_descent_compacted(
     return out_W, out_Ht, out_n
 
 
+def _ladder(b0: int, min_bucket: int = 32):
+    """Descending batch-size ladder (each a multiple of 8, halving down to
+    ``min_bucket``) — the only shapes the grid scheduler ever compiles."""
+    sizes = [max(8 * ((b0 + 7) // 8), 8)]
+    while sizes[-1] > min_bucket:
+        sizes.append(max(min_bucket, 8 * ((sizes[-1] // 2 + 7) // 8)))
+    return sizes
+
+
+_swap_bg_axes = jax.jit(lambda h: jnp.swapaxes(h, 1, 2))
+
+
+def _async_host_copy(arr):
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        pass
+
+
+def nmf_cd_grid(
+    X, W0, Ht0, *, tol: float = 1e-4, max_iter: int = 200,
+    l1_reg_W: float = 0.0, l1_reg_H: float = 0.0,
+    l2_reg_W: float = 0.0, l2_reg_H: float = 0.0,
+    seg_len: int = 125, min_bucket: int = 32,
+):
+    """Tail-compacted batched CD over a merged restart grid.
+
+    The plain batched solver pays the SLOWEST restart's sweep count for the
+    whole batch — measured 2.6× the useful FLOPs on the PBMC-scale K-grid
+    (n_iter max≈1000 vs mean≈250). This scheduler runs ``seg_len``-sweep
+    segments and, as restarts converge, re-packs the survivors into smaller
+    batches from a fixed size ladder, so device sweeps track the n_iter
+    distribution instead of its max. It replaces the reference's
+    one-process-per-(K,iter) scheduling (reference cnmf.py:692-745) for all
+    restarts that share one padded component count.
+
+    Designed for a high-latency host↔device link:
+      * done masks come back via ``copy_to_host_async`` and are only READ two
+        segments late, so the device queue never drains waiting on the host;
+      * spectra leave the device transposed to (B, K, G) and stream host-ward
+        asynchronously at each re-pack, overlapping later segments;
+      * only ladder shapes ever compile (bounded XLA program count).
+
+    Results are bit-identical to ``nmf_coordinate_descent``: converged
+    restarts are frozen inside the kernel, batch position does not enter any
+    per-restart reduction, and ladder padding slots start done. Returns
+    ``(spectra (B, K, G) host array, n_iter (B,) host array)`` — usages are
+    not fetched (factorize discards them, reference cnmf.py:742-745).
+    """
+    X = jnp.asarray(X)
+    W0 = jnp.asarray(W0)
+    Ht0 = jnp.asarray(Ht0)
+    B0 = W0.shape[0]
+    dtype = W0.dtype
+    ladder = _ladder(B0, min_bucket)
+
+    Bp = ladder[0]
+    if Bp > B0:
+        W0 = jnp.concatenate([W0, jnp.repeat(W0[:1], Bp - B0, axis=0)])
+        Ht0 = jnp.concatenate([Ht0, jnp.repeat(Ht0[:1], Bp - B0, axis=0)])
+    Wd, Htd = W0, Ht0
+    vd = jnp.zeros(Bp, dtype)
+    nd = jnp.zeros(Bp, jnp.int32)
+    dd = jnp.asarray(np.arange(Bp) >= B0)
+
+    seg_kwargs = dict(
+        tol=tol, update_H=True,
+        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+    )
+
+    pos2orig = np.concatenate([np.arange(B0), np.full(Bp - B0, -1)])
+    done_orig = np.zeros(B0, bool)   # host knowledge (lags the device)
+    fetches = []                     # (spec_handle, n_handle, p2o, known_done)
+    pending = []                     # (mask_handle, p2o snapshot)
+
+    def read_mask(entry):
+        mask, p2o = entry
+        m = np.asarray(mask)
+        real = p2o >= 0
+        done_orig[p2o[real & m[: len(p2o)]]] = True
+
+    it = 0
+    while it < max_iter:
+        seg = min(seg_len, max_iter - it)
+        Wd, Htd, vd, nd, dd = nmf_cd_segment(
+            X, Wd, Htd, vd, nd, dd, jnp.asarray(it, jnp.int32),
+            seg_len=seg, **seg_kwargs,
+        )
+        it += seg
+        _async_host_copy(dd)
+        pending.append((dd, pos2orig))
+
+        # read masks two segments late: their transfers raced the in-between
+        # segment's device execution, so this rarely blocks
+        if len(pending) >= 3 or it >= max_iter:
+            read_mask(pending.pop(0))
+            alive = int(B0 - done_orig.sum())
+            if alive == 0:
+                break
+            cur = len(pos2orig)
+            target = next((s for s in reversed(ladder) if s >= alive), cur)
+            if target < cur:
+                # stream current spectra host-ward, then re-pack survivors
+                spec = _swap_bg_axes(Htd)
+                _async_host_copy(spec)
+                _async_host_copy(nd)
+                fetches.append((spec, nd, pos2orig, done_orig.copy()))
+                keep = np.where(
+                    (pos2orig >= 0) & ~done_orig[np.clip(pos2orig, 0, None)]
+                )[0]
+                pad = target - len(keep)
+                gd = jnp.asarray(
+                    np.concatenate([keep, np.zeros(pad, np.int64)])
+                )
+                Wd = jnp.take(Wd, gd, axis=0)
+                Htd = jnp.take(Htd, gd, axis=0)
+                vd = jnp.take(vd, gd)
+                nd = jnp.take(nd, gd)
+                dd = jnp.logical_or(
+                    jnp.take(dd, gd), jnp.asarray(np.arange(target) >= len(keep))
+                )
+                pos2orig = np.concatenate(
+                    [pos2orig[keep], np.full(pad, -1)]
+                )
+                pending = []  # stale positions
+
+    fetches.append((_swap_bg_axes(Htd), nd, pos2orig, np.ones(B0, bool)))
+
+    K = Ht0.shape[2]
+    G = Ht0.shape[1]
+    out_spec = np.empty((B0, K, G), np.dtype(dtype))
+    out_n = np.zeros(B0, np.int32)
+    extracted = np.zeros(B0, bool)
+    for spec_h, n_h, p2o, known in fetches:
+        arr = np.asarray(spec_h)
+        n = np.asarray(n_h)
+        orig = np.clip(p2o, 0, None)
+        sel = (p2o >= 0) & known[orig] & ~extracted[orig]
+        if sel.any():
+            rows = p2o[sel]
+            out_spec[rows] = arr[sel]
+            out_n[rows] = n[: len(p2o)][sel]
+            extracted[rows] = True
+    return out_spec, out_n
+
+
 # ----------------------------------------------------------------------
 # beta divergence
 # ----------------------------------------------------------------------

@@ -66,6 +66,7 @@ from cnmf_tpu.pipeline.solvers import (
     refit_usages,
     solve_nmf_batch,
     solve_nmf_batch_sharded,
+    solve_nmf_grid,
 )
 
 
@@ -809,6 +810,91 @@ class cNMF:
                 if phases is not None:
                     phases["write_s"] += _time.perf_counter() - _t2
 
+            # --- merged-grid path (OPT-IN, CNMF_TPU_GRID=1): all restarts
+            # sharing a pad-K bucket solve as ONE tail-compacted schedule
+            # (ops.nmf.nmf_cd_grid). MEASURED A LOSS on the relay-attached
+            # v5e (17-18 s vs 8.7-10.7 s per-K, 3-round A/B): merging couples
+            # fast-converging Ks (K=10 exits at 36 sweeps) to the slow ones
+            # until the lagged ladder shrink catches up, losing more than the
+            # per-K batches' natural early exit already saves, and the
+            # per-segment done-mask reads sync through the relay. Kept for
+            # re-evaluation on directly-attached chips (exact — pinned by
+            # tests/test_grid_solver.py) ---
+            use_grid = (
+                os.environ.get("CNMF_TPU_GRID", "0") == "1"
+                and pipeline_all
+                and restart_chunk is None
+                and not (use_mesh and len(jax.devices()) > 1)
+                and _nmf_kwargs.get("solver", "cd") == "cd"
+                and beta_loss_to_float(
+                    _nmf_kwargs.get("beta_loss", "frobenius")
+                ) == 2.0
+            )
+            if use_grid:
+                buckets = {}
+                for k, group in sub.groupby("n_components", sort=True):
+                    k = int(k)
+                    buckets.setdefault(-(-k // 8) * 8, []).append((k, group))
+                init = _nmf_kwargs.get("init", "random")
+                dtype = self.compute_dtype
+                device_init = (
+                    init == "random"
+                    and jax.default_backend() == "tpu"
+                    and os.environ.get("CNMF_TPU_DEVICE_INIT", "1") == "1"
+                )
+                x_mean = self._x_mean_for_init(X, dtype) if device_init else None
+                drain_threads = []
+                for pad_k, entries in sorted(buckets.items()):
+                    if verbose:
+                        print(
+                            "[Worker %d] factorizing k=%s: %d restarts as one "
+                            "tail-compacted device schedule" % (
+                                worker_i, ",".join(str(k) for k, _ in entries),
+                                sum(len(g) for _, g in entries),
+                            )
+                        )
+                    _t0g = _time.perf_counter()
+                    inits = [
+                        self._build_restart_init(
+                            X, k, g["nmf_seed"].values, init, pad_k,
+                            device_init, x_mean, dtype,
+                        )
+                        for k, g in entries
+                    ]
+                    if isinstance(inits[0][0], jax.Array):
+                        W0m = jnp.concatenate([w for w, _ in inits], axis=0)
+                        Ht0m = jnp.concatenate([h for _, h in inits], axis=0)
+                    else:
+                        W0m = np.concatenate([w for w, _ in inits], axis=0)
+                        Ht0m = np.concatenate([h for _, h in inits], axis=0)
+                    del inits
+                    _t1g = _time.perf_counter()
+                    if phases is not None:
+                        phases["init_s"] += _t1g - _t0g
+                    spec, n_iter_h = solve_nmf_grid(Xd, W0m, Ht0m, _nmf_kwargs)
+                    if phases is not None:
+                        phases["solve_wait_s"] += _time.perf_counter() - _t1g
+                        phases["result_bytes"] += int(spec.nbytes)
+                    self._sweep_counts.append((pad_k, n_iter_h))
+                    off = 0
+                    slices = []
+                    for k, g in entries:
+                        Bk = len(g)
+                        slices.append((k, g["iter"].values,
+                                       [spec[off:off + Bk]]))
+                        off += Bk
+                    # write from a side thread so the next bucket's schedule
+                    # dispatches immediately
+                    t = threading.Thread(
+                        target=lambda sl=slices: [drain(*args) for args in sl],
+                        name="cnmf-tpu-grid-drain",
+                    )
+                    t.start()
+                    drain_threads.append(t)
+                for t in drain_threads:
+                    t.join()
+                return
+
             for k, group in sub.groupby("n_components", sort=True):
                 k = int(k)
                 pad_k = -(-k // 8) * 8
@@ -831,6 +917,43 @@ class cNMF:
 
             for k, iters, handles in pending:
                 drain(k, iters, handles)
+
+    @staticmethod
+    def _x_mean_for_init(X_host, dtype):
+        """Global mean of X at the solver dtype's accumulation order — the
+        scalar the on-device random init scales by (sklearn init parity)."""
+        if sp.issparse(X_host):
+            # same cast-then-accumulate order as the dense branch (whose
+            # X_host was already cast to compute_dtype by densify_csr)
+            return float(
+                np.sum(X_host.data.astype(dtype), dtype=np.float64)
+            ) / (X_host.shape[0] * X_host.shape[1])
+        return float(np.mean(X_host, dtype=np.float64))
+
+    def _build_restart_init(self, X_host, k, seeds, init, pad_k,
+                            device_init, x_mean, dtype):
+        """Per-restart initial factors (W0 (B,N,pad_k), Ht0 (B,G,pad_k)) —
+        device arrays under device_init, host arrays otherwise; padded
+        component columns are zero (exact no-op for both solvers)."""
+        if device_init:
+            return random_init_batch_device(
+                x_mean, X_host.shape[0], X_host.shape[1], k,
+                seeds, pad_k=pad_k, dtype=dtype,
+            )
+        if init == "random":
+            W0, Ht0 = random_init_batch(X_host, k, seeds, dtype=dtype)
+        elif init in ("nndsvd", "nndsvda", "nndsvdar"):
+            W_s, H_s = nndsvd_init(X_host, k, dtype=dtype, variant=init)
+            W0 = np.broadcast_to(W_s[None], (len(seeds),) + W_s.shape).copy()
+            Ht0 = np.broadcast_to(
+                H_s.T[None], (len(seeds),) + H_s.T.shape
+            ).copy()
+        else:
+            raise ValueError(f"unsupported init: {init}")
+        if pad_k > k:
+            W0 = np.pad(W0, ((0, 0), (0, 0), (0, pad_k - k)))
+            Ht0 = np.pad(Ht0, ((0, 0), (0, 0), (0, pad_k - k)))
+        return W0, Ht0
 
     def _factorize_one_k(
         self, Xd, X_host, k, seeds, nmf_kwargs, pad_k=None,
@@ -871,40 +994,15 @@ class cNMF:
             and jax.default_backend() == "tpu"
             and os.environ.get("CNMF_TPU_DEVICE_INIT", "1") == "1"
         )
-        x_mean = None
-        if device_init:
-            if sp.issparse(X_host):
-                # same cast-then-accumulate order as the dense branch (whose
-                # X_host was already cast to compute_dtype by densify_csr)
-                x_mean = float(
-                    np.sum(X_host.data.astype(dtype), dtype=np.float64)
-                ) / (X_host.shape[0] * X_host.shape[1])
-            else:
-                x_mean = float(np.mean(X_host, dtype=np.float64))
+        x_mean = self._x_mean_for_init(X_host, dtype) if device_init else None
 
         out = []
         for start in range(0, B, chunk):
             _t0 = _time.perf_counter()
             chunk_seeds = seeds[start:start + chunk]
-            if device_init:
-                W0, Ht0 = random_init_batch_device(
-                    x_mean, X_host.shape[0], X_host.shape[1], k,
-                    chunk_seeds, pad_k=pad_k, dtype=dtype,
-                )
-            elif init == "random":
-                W0, Ht0 = random_init_batch(X_host, k, chunk_seeds, dtype=dtype)
-            elif init in ("nndsvd", "nndsvda", "nndsvdar"):
-                W_s, H_s = nndsvd_init(X_host, k, dtype=dtype, variant=init)
-                W0 = np.broadcast_to(W_s[None], (len(chunk_seeds),) + W_s.shape).copy()
-                Ht0 = np.broadcast_to(
-                    H_s.T[None], (len(chunk_seeds),) + H_s.T.shape
-                ).copy()
-            else:
-                raise ValueError(f"unsupported init: {init}")
-
-            if not device_init and pad_k > k:
-                W0 = np.pad(W0, ((0, 0), (0, 0), (0, pad_k - k)))
-                Ht0 = np.pad(Ht0, ((0, 0), (0, 0), (0, pad_k - k)))
+            W0, Ht0 = self._build_restart_init(
+                X_host, k, chunk_seeds, init, pad_k, device_init, x_mean, dtype
+            )
 
             _t1 = _time.perf_counter()
             mesh = None

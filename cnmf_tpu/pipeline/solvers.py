@@ -20,6 +20,7 @@ from cnmf_tpu.ops.init import nnls_w_init
 from cnmf_tpu.ops.nmf import (
     MATMUL_PRECISION,
     _shared_x_dot,
+    nmf_cd_grid,
     nmf_coordinate_descent,
     nmf_coordinate_descent_compacted,
     nmf_multiplicative_update,
@@ -169,6 +170,32 @@ def solve_nmf_batch(
         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
         l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H, chunk=mu_chunk,
         use_pallas=use_pallas,
+    )
+
+
+def solve_nmf_grid(X, W0, Ht0, nmf_kwargs: dict,
+                   seg_len: int = 125, min_bucket: int = 32):
+    """Tail-compacted CD over a MERGED restart batch (all restarts sharing
+    one padded component count, across K values) — see ops.nmf.nmf_cd_grid.
+    Returns (spectra (B, pad_k, G) host, n_iter (B,) host). CD/frobenius
+    only; callers fall back to solve_nmf_batch otherwise."""
+    solver = nmf_kwargs.get("solver", "cd")
+    beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+    if solver != "cd" or beta != 2.0:
+        raise ValueError("solve_nmf_grid is CD/frobenius only")
+    l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H = compute_regularization(
+        float(nmf_kwargs.get("alpha_W", 0.0)),
+        nmf_kwargs.get("alpha_H", "same"),
+        float(nmf_kwargs.get("l1_ratio", 0.0)),
+        X.shape,
+    )
+    return nmf_cd_grid(
+        X, W0, Ht0,
+        tol=float(nmf_kwargs.get("tol", 1e-4)),
+        max_iter=int(nmf_kwargs.get("max_iter", 200)),
+        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+        seg_len=seg_len, min_bucket=min_bucket,
     )
 
 

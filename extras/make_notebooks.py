@@ -278,10 +278,126 @@ corrected, tp10k, hvgs = pp.preprocess_for_cnmf([adata_rna, adata_adt])
 ]
 
 
+R_VIGNETTE = [
+    ("md", """\
+# cnmf-tpu from R (or any external tool): the CLI workflow
+
+Counterpart of the reference's `Tutorials/R_vignette.Rmd`
+(reference R_vignette.Rmd:107-167): an R user exports their Seurat object
+as a 10x-style `matrix.mtx` directory, drives the pipeline through shell
+commands with `system()`, and reads the tab-separated result files back
+with `read.table`. Everything below mirrors that flow — each `run(...)`
+cell is exactly the command string the R vignette builds with `paste(...)`
+and passes to `system()`; swap `python -m cnmf_tpu.cli` for the `cnmf`
+console script if the package is installed."""),
+    ("code", FORCE_CPU),
+    ("md", """\
+## Export a counts matrix as a 10x mtx directory
+
+(Stand-in for Seurat's `writeMM(counts, 'matrix.mtx')` +
+`write.table(rownames/colnames)` — we simulate counts instead of
+downloading the vignette's dataset.)"""),
+    ("code", """\
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import scipy.io
+import scipy.sparse as sp
+
+from cnmf_tpu.simulate import simulate_counts
+
+data_dir = tempfile.mkdtemp(prefix="cnmf_tpu_rvig_")
+filtered_dir = os.path.join(data_dir, "filtered")
+os.makedirs(filtered_dir, exist_ok=True)
+
+# 4 identity + 1 activity program = 5 planted programs (matches the K=5
+# consensus below)
+adata, usage_true, spectra_true = simulate_counts(
+    n_cells=500, n_genes=800, n_identities=4, n_activities=1, seed=11)
+X = sp.csr_matrix(np.asarray(adata.X))
+
+# 10x layout: genes x cells matrix.mtx + genes.tsv + barcodes.tsv
+scipy.io.mmwrite(os.path.join(filtered_dir, "matrix.mtx"), X.T)
+pd.DataFrame({0: adata.var.index, 1: adata.var.index}).to_csv(
+    os.path.join(filtered_dir, "genes.tsv"),
+    sep="\\t", header=False, index=False)
+pd.Series(adata.obs.index).to_csv(
+    os.path.join(filtered_dir, "barcodes.tsv"),
+    sep="\\t", header=False, index=False)
+sorted(os.listdir(filtered_dir))"""),
+    ("md", """\
+## Drive the five stages through the shell
+
+The R vignette builds each command with `paste(...)` and calls
+`system(cmd)`; `run` below is the same thing from Python."""),
+    ("code", """\
+import subprocess
+import sys
+
+runname = "example_cNMF"
+
+def run(cmd):
+    print("$", cmd)
+    subprocess.run(
+        [sys.executable, "-m", "cnmf_tpu.cli"] + cmd.split(),
+        check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+
+run(f"prepare --output-dir {data_dir} --name {runname} "
+    f"-c {filtered_dir}/matrix.mtx --max-nmf-iter 2000 "
+    f"-k 4 5 6 7 --n-iter 10")"""),
+    ("code", """\
+# one worker here; distribute with --worker-index i --total-workers N
+run(f"factorize --output-dir {data_dir} --name {runname} "
+    f"--worker-index 0 --total-workers 1")
+run(f"combine --output-dir {data_dir} --name {runname}")
+run(f"k_selection_plot --output-dir {data_dir} --name {runname}")"""),
+    ("md", """\
+## Inspect the K-selection plot
+
+(The Rmd embeds the PNG with `![Alt text](...k_selection.png)`.)"""),
+    ("code", """\
+import matplotlib.pyplot as plt
+
+png = os.path.join(data_dir, runname, f"{runname}.k_selection.png")
+fig, ax = plt.subplots(figsize=(7, 4), dpi=110)
+ax.imshow(plt.imread(png)); ax.axis("off"); plt.show()"""),
+    ("code", """\
+run(f"consensus --output-dir {data_dir} --name {runname} "
+    f"--components 5 --local-density-threshold 0.1 --show-clustering")"""),
+    ("md", """\
+## Read the results back, R-style
+
+The vignette finishes with
+`read.table('...usages.k_7.dt_0_1.consensus.txt', sep='\\t', row.names=1,
+header=TRUE)`; the same tab-separated files land here."""),
+    ("code", """\
+usage = pd.read_csv(
+    os.path.join(data_dir, runname,
+                 f"{runname}.usages.k_5.dt_0_1.consensus.txt"),
+    sep="\\t", index_col=0)
+usage_norm = usage.div(usage.sum(axis=1), axis=0)
+gep_scores = pd.read_csv(
+    os.path.join(data_dir, runname,
+                 f"{runname}.gene_spectra_score.k_5.dt_0_1.txt"),
+    sep="\\t", index_col=0).T
+print("top genes per GEP:")
+pd.DataFrame({c: gep_scores[c].nlargest(5).index for c in gep_scores})"""),
+    ("code", """\
+# planted-program recovery check: each true identity program should be
+# captured by one GEP (high max correlation)
+cors = np.corrcoef(usage_norm.values.T, usage_true.values.T)[:5, 5:]
+print("max |r| per planted program:", np.abs(cors).max(axis=0).round(2))
+assert np.abs(cors).max(axis=0).min() > 0.5"""),
+]
+
+
 NOTEBOOKS = {
     "analyze_simulated_example.ipynb": SIMULATED,
     "analyze_pbmc_example.ipynb": PBMC,
     "batch_correction_example.ipynb": BATCH,
+    "cli_from_R_example.ipynb": R_VIGNETTE,
 }
 
 

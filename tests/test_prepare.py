@@ -100,3 +100,42 @@ def test_prepare_hvg_gene_list_used(tmp_path, counts_df):
     from cnmf_tpu.io.h5ad import read_h5ad
     norm = read_h5ad(obj.paths["normalized_counts"])
     assert list(norm.var.index) == genes
+
+
+def test_prepare_store_dtype_knob(tmp_path, counts_df, monkeypatch):
+    """CNMF_TPU_PREPARE_DTYPE=float32 halves the prepare h5ad bytes; the
+    end-to-end consensus artifacts stay within f32 rounding of the default
+    f64 on-disk contract (stats are computed BEFORE the storage cast)."""
+    from cnmf_tpu.io.dataframe import load_df_from_npz
+    from cnmf_tpu.io.h5ad import read_h5ad
+
+    fn = write_input(counts_df, str(tmp_path), "h5ad", np.float64)
+
+    def run(name):
+        obj = cNMF(output_dir=str(tmp_path), name=name)
+        obj.prepare(counts_fn=fn, components=[4], n_iter=4, seed=14,
+                    num_highvar_genes=90)
+        obj.factorize(verbose=False)
+        obj.combine()
+        obj.consensus(k=4, density_threshold=0.5, show_clustering=False)
+        return obj
+
+    ref = run("store_f64")
+    monkeypatch.setenv("CNMF_TPU_PREPARE_DTYPE", "float32")
+    f32 = run("store_f32")
+
+    assert read_h5ad(f32.paths["tpm"]).X.dtype == np.float32
+    assert read_h5ad(f32.paths["normalized_counts"]).X.dtype == np.float32
+    # sparse CSR: data bytes halve (8->4 per nnz) while the int32 indices
+    # stay — 2/3 asymptotically, plus fixed h5 overhead at this tiny size
+    assert (os.path.getsize(f32.paths["normalized_counts"])
+            < 0.8 * os.path.getsize(ref.paths["normalized_counts"]))
+    # tpm_stats computed at input precision, before the cast
+    a = load_df_from_npz(ref.paths["tpm_stats"])
+    b = load_df_from_npz(f32.paths["tpm_stats"])
+    np.testing.assert_allclose(a.values, b.values, rtol=1e-12)
+    for key in ["consensus_spectra", "consensus_usages", "gene_spectra_tpm"]:
+        x = load_df_from_npz(ref.paths[key] % (4, "0_5")).values
+        y = load_df_from_npz(f32.paths[key] % (4, "0_5")).values
+        rel = np.abs(x - y).max() / max(np.abs(x).max(), 1e-12)
+        assert rel < 1e-4, (key, rel)

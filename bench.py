@@ -318,10 +318,15 @@ def main():
             for k in c1
         }
 
-        # one KL (beta!=2) factorize so the Pallas MU path has a measured
-        # number — K=10 x n_iter on the same matrix
+        # KL (beta!=2) factorize so the Pallas MU path has a measured number
+        # — K=10 x n_iter on the same matrix; min of 2 (first call pays the
+        # MU program loads)
         try:
-            kl = _run_kl_once(workdir, "bench_kl", counts_fn, k_cons, n_iter, hvg)
+            kl = min(
+                (_run_kl_once(workdir, f"bench_kl{i}", counts_fn, k_cons,
+                              n_iter, hvg) for i in range(2)),
+                key=lambda r: r["factorize"],
+            )
         except Exception as e:
             log(f"[bench] kl stage failed: {e}")
             kl = None

@@ -477,28 +477,46 @@ def nmf_cd_grid(
     W0 = jnp.asarray(W0)
     Ht0 = jnp.asarray(Ht0)
     B0 = W0.shape[0]
-    dtype = W0.dtype
     ladder = _ladder(B0, min_bucket)
 
     Bp = ladder[0]
     if Bp > B0:
         W0 = jnp.concatenate([W0, jnp.repeat(W0[:1], Bp - B0, axis=0)])
         Ht0 = jnp.concatenate([Ht0, jnp.repeat(Ht0[:1], Bp - B0, axis=0)])
-    Wd, Htd = W0, Ht0
-    vd = jnp.zeros(Bp, dtype)
-    nd = jnp.zeros(Bp, jnp.int32)
-    dd = jnp.asarray(np.arange(Bp) >= B0)
-
+    state = (
+        W0, Ht0,
+        jnp.zeros(Bp, W0.dtype), jnp.zeros(Bp, jnp.int32),
+        jnp.asarray(np.arange(Bp) >= B0),
+    )
     seg_kwargs = dict(
         tol=tol, update_H=True,
         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
         l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
     )
-
     pos2orig = np.concatenate([np.arange(B0), np.full(Bp - B0, -1)])
-    done_orig = np.zeros(B0, bool)   # host knowledge (lags the device)
-    fetches = []                     # (spec_handle, n_handle, p2o, known_done)
-    pending = []                     # (mask_handle, p2o snapshot)
+    fetches = _cd_ladder_run(
+        X, state, pos2orig, np.zeros(B0, bool), 0, max_iter,
+        seg_kwargs, seg_len, ladder,
+    )
+    return _extract_grid_results(fetches, B0, Ht0.shape[2], Ht0.shape[1],
+                                 np.dtype(W0.dtype))
+
+
+def _cd_ladder_run(X, state, pos2orig, done_orig, it0, max_iter,
+                   seg_kwargs, seg_len, ladder):
+    """Segment + ladder-compaction loop from a resumable CD state.
+
+    ``state`` = (W, Ht, violation_init, n_iter, done) device arrays at batch
+    size ``len(pos2orig)``; ``pos2orig`` maps batch position → original
+    restart id (-1 = padding); ``done_orig`` is the host's (lagging)
+    knowledge of which original restarts have converged. Returns the
+    ``fetches`` list consumed by ``_extract_grid_results`` — each entry is
+    (spectra handle (B, K, G), n_iter handle, pos2orig snapshot, the
+    done-knowledge under which rows of that fetch are final)."""
+    B0 = len(done_orig)
+    Wd, Htd, vd, nd, dd = state
+    fetches = []
+    pending = []  # (mask_handle, p2o snapshot)
 
     def read_mask(entry):
         mask, p2o = entry
@@ -506,7 +524,7 @@ def nmf_cd_grid(
         real = p2o >= 0
         done_orig[p2o[real & m[: len(p2o)]]] = True
 
-    it = 0
+    it = it0
     while it < max_iter:
         seg = min(seg_len, max_iter - it)
         Wd, Htd, vd, nd, dd = nmf_cd_segment(
@@ -552,10 +570,14 @@ def nmf_cd_grid(
                 pending = []  # stale positions
 
     fetches.append((_swap_bg_axes(Htd), nd, pos2orig, np.ones(B0, bool)))
+    return fetches
 
-    K = Ht0.shape[2]
-    G = Ht0.shape[1]
-    out_spec = np.empty((B0, K, G), np.dtype(dtype))
+
+def _extract_grid_results(fetches, B0, K, G, dtype):
+    """Assemble (spectra (B0, K, G), n_iter (B0,)) host arrays from ladder
+    fetches: each original restart is taken from the FIRST fetch whose
+    done-knowledge marks it final (frozen thereafter — exact)."""
+    out_spec = np.empty((B0, K, G), dtype)
     out_n = np.zeros(B0, np.int32)
     extracted = np.zeros(B0, bool)
     for spec_h, n_h, p2o, known in fetches:
@@ -569,6 +591,130 @@ def nmf_cd_grid(
             out_n[rows] = n[: len(p2o)][sel]
             extracted[rows] = True
     return out_spec, out_n
+
+
+def nmf_cd_staged(
+    X, inits, *, tol: float = 1e-4, max_iter: int = 200,
+    l1_reg_W: float = 0.0, l1_reg_H: float = 0.0,
+    l2_reg_W: float = 0.0, l2_reg_H: float = 0.0,
+    s0: int = 250, seg_len: int = 125, min_bucket: int = 32,
+):
+    """Two-phase tail-compacted CD over a multi-K restart grid.
+
+    ``inits`` is a list of per-K (W0 (B_k, N, pad_k), Ht0 (B_k, G, pad_k))
+    batches (pad_k may differ across entries). Phase 1 dispatches every K's
+    batch for up to ``s0`` sweeps back-to-back — keeping each K batch's
+    natural early exit (a fast K stops the moment its own slowest restart
+    converges, paying nothing for other Ks). The survivors of ALL Ks then
+    merge on device — zero-padded to the max pad_k (exact no-op) — into one
+    ladder-compacted continuation (``_cd_ladder_run``), so the long tail of
+    slow restarts runs at a batch size that tracks how many are actually
+    left instead of 100-per-K.
+
+    vs the pure merged grid (nmf_cd_grid, measured 2x SLOWER than per-K):
+    phase 1 is exactly the production per-K dispatch pattern (no merging
+    where early exit wins), and the single merge point costs one mask read
+    per K, overlapped with phase-1 execution.
+
+    Exact: segments are resumable (violation_init / n_iter / done carried),
+    frozen restarts never update, and component zero-padding is a no-op for
+    CD. Returns a list of per-K (spectra (B_k, pad_k, G) host, n_iter
+    (B_k,) host) in input order.
+    """
+    X = jnp.asarray(X)
+    seg_kwargs = dict(
+        tol=tol, update_H=True,
+        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+    )
+    s0 = min(s0, max_iter)
+
+    # --- phase 1: per-K segment dispatches, all async ---------------------
+    states = []
+    for W0, Ht0 in inits:
+        W0 = jnp.asarray(W0)
+        Ht0 = jnp.asarray(Ht0)
+        B = W0.shape[0]
+        st = nmf_cd_segment(
+            X, W0, Ht0, jnp.zeros(B, W0.dtype), jnp.zeros(B, jnp.int32),
+            jnp.zeros(B, bool), jnp.zeros((), jnp.int32),
+            seg_len=s0, **seg_kwargs,
+        )
+        spec = _swap_bg_axes(st[1])
+        _async_host_copy(spec)      # converged restarts' spectra
+        _async_host_copy(st[3])     # n_iter
+        _async_host_copy(st[4])     # done mask
+        states.append((st, spec))
+
+    results = [None] * len(inits)
+    if s0 >= max_iter:
+        for i, (st, spec) in enumerate(states):
+            results[i] = (np.asarray(spec), np.asarray(st[3]))
+        return results
+
+    # --- merge survivors on device, zero-padding pad_k to the max ---------
+    pad_max = max(int(st[0].shape[2]) for st, _ in states)
+    survivors = []   # (k_index, row_in_k, position_in_merged)
+    parts = []
+    for i, (st, spec) in enumerate(states):
+        done = np.asarray(st[4])
+        keep = np.where(~done)[0]
+        if keep.size == 0:
+            continue
+        gd = jnp.asarray(keep)
+        part = tuple(jnp.take(a, gd, axis=0) for a in st)
+        kpad = pad_max - part[0].shape[2]
+        if kpad:
+            part = (
+                jnp.pad(part[0], ((0, 0), (0, 0), (0, kpad))),
+                jnp.pad(part[1], ((0, 0), (0, 0), (0, kpad))),
+            ) + part[2:]
+        parts.append(part)
+        survivors.extend((i, int(r)) for r in keep)
+
+    # phase-1 spectra cover everything that already converged
+    phase1 = [(np.asarray(spec), np.asarray(st[3]), np.asarray(st[4]))
+              for st, spec in states]
+
+    if parts:
+        n_sur = len(survivors)
+        ladder = _ladder(n_sur, min_bucket)
+        Bp = ladder[0]
+        merged = [jnp.concatenate([p[j] for p in parts], axis=0)
+                  for j in range(5)]
+        if Bp > n_sur:
+            pad = Bp - n_sur
+            merged[0] = jnp.concatenate(
+                [merged[0], jnp.repeat(merged[0][:1], pad, axis=0)])
+            merged[1] = jnp.concatenate(
+                [merged[1], jnp.repeat(merged[1][:1], pad, axis=0)])
+            merged[2] = jnp.concatenate([merged[2], jnp.zeros(pad, merged[2].dtype)])
+            merged[3] = jnp.concatenate([merged[3], jnp.zeros(pad, jnp.int32)])
+            merged[4] = jnp.concatenate([merged[4], jnp.ones(pad, bool)])
+        pos2orig = np.concatenate(
+            [np.arange(n_sur), np.full(Bp - n_sur, -1)]
+        )
+        fetches = _cd_ladder_run(
+            X, tuple(merged), pos2orig, np.zeros(n_sur, bool), s0, max_iter,
+            seg_kwargs, seg_len, ladder,
+        )
+        sur_spec, sur_n = _extract_grid_results(
+            fetches, n_sur, pad_max, merged[1].shape[1],
+            np.dtype(str(merged[0].dtype)),
+        )
+    else:
+        sur_spec = sur_n = None
+
+    # --- scatter back into per-K outputs ----------------------------------
+    for i, (spec1, n1, done1) in enumerate(phase1):
+        out_spec = np.array(spec1)
+        out_n = np.array(n1)
+        results[i] = (out_spec, out_n)
+    for pos, (i, row) in enumerate(survivors):
+        kpad_i = results[i][0].shape[1]
+        results[i][0][row] = sur_spec[pos, :kpad_i, :]
+        results[i][1][row] = sur_n[pos]
+    return results
 
 
 # ----------------------------------------------------------------------

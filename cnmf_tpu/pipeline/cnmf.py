@@ -67,6 +67,7 @@ from cnmf_tpu.pipeline.solvers import (
     solve_nmf_batch,
     solve_nmf_batch_sharded,
     solve_nmf_grid,
+    solve_nmf_staged,
 )
 
 
@@ -832,6 +833,62 @@ class cNMF:
                 self._memo_spectra_stack(k, stats, spectra_batch, gene_index)
                 if phases is not None:
                     phases["write_s"] += _time.perf_counter() - _t2
+
+            # --- staged path (CNMF_TPU_STAGED): phase 1 = the per-K batched
+            # dispatches below (natural early exit per K), then the
+            # stragglers of ALL Ks merge into one ladder-compacted
+            # continuation (ops.nmf.nmf_cd_staged) — device sweeps track the
+            # n_iter tail instead of paying each K batch's slowest restart
+            # (measured 2.64x executed-vs-useful FLOPs at PBMC scale) ---
+            use_staged = (
+                os.environ.get("CNMF_TPU_STAGED", "0") == "1"
+                and pipeline_all
+                and restart_chunk is None
+                and not (use_mesh and len(jax.devices()) > 1)
+                and _nmf_kwargs.get("solver", "cd") == "cd"
+                and beta_loss_to_float(
+                    _nmf_kwargs.get("beta_loss", "frobenius")
+                ) == 2.0
+            )
+            if use_staged:
+                init = _nmf_kwargs.get("init", "random")
+                dtype = self.compute_dtype
+                device_init = (
+                    init == "random"
+                    and jax.default_backend() == "tpu"
+                    and os.environ.get("CNMF_TPU_DEVICE_INIT", "1") == "1"
+                )
+                x_mean = self._x_mean_for_init(X, dtype) if device_init else None
+                entries = [(int(k), g) for k, g in
+                           sub.groupby("n_components", sort=True)]
+                if verbose:
+                    print(
+                        "[Worker %d] factorizing k=%s: %d restarts, staged "
+                        "tail-compacted schedule" % (
+                            worker_i, ",".join(str(k) for k, _ in entries),
+                            sum(len(g) for _, g in entries),
+                        )
+                    )
+                _t0g = _time.perf_counter()
+                inits = [
+                    self._build_restart_init(
+                        X, k, g["nmf_seed"].values, init, -(-k // 8) * 8,
+                        device_init, x_mean, dtype,
+                    )
+                    for k, g in entries
+                ]
+                _t1g = _time.perf_counter()
+                if phases is not None:
+                    phases["init_s"] += _t1g - _t0g
+                outs = solve_nmf_staged(Xd, inits, _nmf_kwargs)
+                if phases is not None:
+                    phases["solve_wait_s"] += _time.perf_counter() - _t1g
+                for (k, g), (spec, n_iter_h) in zip(entries, outs):
+                    self._sweep_counts.append((spec.shape[1], n_iter_h))
+                    if phases is not None:
+                        phases["result_bytes"] += int(spec.nbytes)
+                    drain(k, g["iter"].values, [spec])
+                return
 
             # --- merged-grid path (OPT-IN, CNMF_TPU_GRID=1): all restarts
             # sharing a pad-K bucket solve as ONE tail-compacted schedule

@@ -21,6 +21,7 @@ from cnmf_tpu.ops.nmf import (
     MATMUL_PRECISION,
     _shared_x_dot,
     nmf_cd_grid,
+    nmf_cd_staged,
     nmf_coordinate_descent,
     nmf_coordinate_descent_compacted,
     nmf_multiplicative_update,
@@ -195,6 +196,35 @@ def solve_nmf_grid(X, W0, Ht0, nmf_kwargs: dict,
         max_iter=int(nmf_kwargs.get("max_iter", 200)),
         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
         l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+        seg_len=seg_len, min_bucket=min_bucket,
+    )
+
+
+def solve_nmf_staged(X, inits, nmf_kwargs: dict,
+                     s0: int = 250, seg_len: int = 125,
+                     min_bucket: int = 32):
+    """Two-phase tail-compacted CD over per-K init batches (see
+    ops.nmf.nmf_cd_staged): per-K dispatches for the first ``s0`` sweeps,
+    then one merged ladder-compacted continuation for the stragglers.
+    Returns per-K (spectra (B_k, pad_k, G) host, n_iter) in input order.
+    CD/frobenius only."""
+    solver = nmf_kwargs.get("solver", "cd")
+    beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+    if solver != "cd" or beta != 2.0:
+        raise ValueError("solve_nmf_staged is CD/frobenius only")
+    l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H = compute_regularization(
+        float(nmf_kwargs.get("alpha_W", 0.0)),
+        nmf_kwargs.get("alpha_H", "same"),
+        float(nmf_kwargs.get("l1_ratio", 0.0)),
+        X.shape,
+    )
+    return nmf_cd_staged(
+        X, inits,
+        tol=float(nmf_kwargs.get("tol", 1e-4)),
+        max_iter=int(nmf_kwargs.get("max_iter", 200)),
+        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+        s0=int(os.environ.get("CNMF_TPU_STAGED_S0", s0)),
         seg_len=seg_len, min_bucket=min_bucket,
     )
 

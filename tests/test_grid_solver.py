@@ -110,10 +110,102 @@ def test_factorize_grid_matches_per_k(tmp_path, monkeypatch):
         obj = cNMF(output_dir=str(tmp_path), name=f"grid{mode}")
         obj.prepare(counts_fn=counts, components=[4, 5, 9], n_iter=3,
                     seed=14, num_highvar_genes=60)
-        obj.factorize(verbose=False)
+        # use_mesh=False: the conftest's 8-device CPU mesh would otherwise
+        # disqualify the single-device grid gate and compare per-K to per-K
+        obj.factorize(verbose=False, use_mesh=False)
         results[mode] = {
             (k, i): load_df_from_npz(obj.paths["iter_spectra"] % (k, i))
             for k in [4, 5, 9] for i in range(3)
+        }
+    for key, on in results["1"].items():
+        off = results["0"][key]
+        assert on.index.equals(off.index) and on.columns.equals(off.columns)
+        np.testing.assert_allclose(
+            on.values, off.values, rtol=0,
+            atol=1e-5 * max(1.0, np.abs(off.values).max()),
+        )
+
+
+@pytest.mark.parametrize("s0,seg_len,max_iter", [(20, 10, 95), (30, 25, 100)])
+def test_staged_matches_plain_solver(s0, seg_len, max_iter):
+    # mixed pad buckets (K=5 -> pad 8, K=11 -> pad 16) through one staged call
+    from cnmf_tpu.ops.nmf import nmf_cd_staged
+
+    rng = np.random.RandomState(1)
+    N, G = 60, 40
+    X = np.abs(rng.standard_normal((N, G))).astype(np.float32)
+    Xd = jnp.asarray(X)
+
+    inits, refs = [], []
+    for i, (k, pad_k) in enumerate([(5, 8), (6, 8), (11, 16)]):
+        W0, Ht0 = _mk(8, N, G, k, pad_k, seed=10 + i)
+        inits.append((jnp.asarray(W0), jnp.asarray(Ht0)))
+        _, Ht, n = nmf_coordinate_descent(
+            Xd, jnp.asarray(W0), jnp.asarray(Ht0),
+            tol=1e-3, max_iter=max_iter,
+        )
+        refs.append((np.swapaxes(np.asarray(Ht), 1, 2), np.asarray(n)))
+
+    outs = nmf_cd_staged(Xd, inits, tol=1e-3, max_iter=max_iter,
+                         s0=s0, seg_len=seg_len, min_bucket=8)
+    assert len(outs) == 3
+    tails = 0
+    for (spec, n_iter), (ref_spec, ref_n) in zip(outs, refs):
+        np.testing.assert_array_equal(n_iter, ref_n)
+        np.testing.assert_allclose(spec, ref_spec, rtol=0, atol=2e-6)
+        tails += int((ref_n > s0).sum())
+    assert tails > 0  # the continuation phase really ran
+
+
+def test_staged_all_converge_in_phase1():
+    from cnmf_tpu.ops.nmf import nmf_cd_staged
+
+    rng = np.random.RandomState(2)
+    X = np.abs(rng.standard_normal((30, 20))).astype(np.float32)
+    W0, Ht0 = _mk(4, 30, 20, 4, 8, seed=3)
+    _, Ht, n = nmf_coordinate_descent(
+        jnp.asarray(X), jnp.asarray(W0), jnp.asarray(Ht0),
+        tol=1e-2, max_iter=200,
+    )
+    assert int(np.asarray(n).max()) < 150
+    outs = nmf_cd_staged(jnp.asarray(X), [(jnp.asarray(W0), jnp.asarray(Ht0))],
+                         tol=1e-2, max_iter=200, s0=150, seg_len=25,
+                         min_bucket=8)
+    spec, n_iter = outs[0]
+    np.testing.assert_array_equal(n_iter, np.asarray(n))
+    np.testing.assert_allclose(
+        spec, np.swapaxes(np.asarray(Ht), 1, 2), rtol=0, atol=2e-6
+    )
+
+
+def test_factorize_staged_matches_per_k(tmp_path, monkeypatch):
+    import pandas as pd
+
+    from cnmf_tpu import cNMF
+    from cnmf_tpu.io.dataframe import load_df_from_npz, save_df_to_npz
+
+    rng = np.random.RandomState(7)
+    W = rng.gamma(0.7, 1.0, size=(80, 5))
+    H = rng.gamma(0.5, 1.0, size=(5, 120)) * (rng.rand(5, 120) < 0.4)
+    X = rng.poisson(W @ H * 2.0).astype(float)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(
+        X, index=[f"c{i}" for i in range(80)],
+        columns=[f"g{j}" for j in range(120)],
+    )
+    counts = str(tmp_path / "counts.df.npz")
+    save_df_to_npz(df, counts)
+
+    results = {}
+    for mode in ["1", "0"]:
+        monkeypatch.setenv("CNMF_TPU_STAGED", mode)
+        obj = cNMF(output_dir=str(tmp_path), name=f"staged{mode}")
+        obj.prepare(counts_fn=counts, components=[4, 9], n_iter=3,
+                    seed=14, num_highvar_genes=60)
+        obj.factorize(verbose=False, use_mesh=False)
+        results[mode] = {
+            (k, i): load_df_from_npz(obj.paths["iter_spectra"] % (k, i))
+            for k in [4, 9] for i in range(3)
         }
     for key, on in results["1"].items():
         off = results["0"][key]

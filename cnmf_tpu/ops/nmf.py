@@ -120,6 +120,10 @@ def _cd_half_sweep(F, G, P, l1_reg: float, l2_reg: float):
         return F, violation
 
     violation0 = jnp.zeros((B,), dtype=F.dtype)
+    # Keep this loop ROLLED: unrolling it (factors 2/4/16 measured on-device,
+    # 1000-sweep units, interleaved arms) is monotonically slower — 40.9
+    # TFLOP/s rolled vs 28.5 fully unrolled at bench shapes. XLA reuses the
+    # loop buffers across iterations; the unrolled HLO loses that aliasing.
     F, violation = jax.lax.fori_loop(0, K, col_update, (F, violation0))
     return F, violation
 

@@ -84,8 +84,23 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _apply_platform_override():
+    """Honor CNMF_TPU_PLATFORM (e.g. 'cpu') for CLI runs that must stay off
+    a shared accelerator — notebooks, CI, laptops with a remote device
+    plugin. A plain JAX_PLATFORMS env var is NOT reliable here: a
+    sitecustomize that presets it (as the axon plugin does) wins over the
+    subprocess environment, whereas ``jax.config.update`` always applies
+    when called before backend initialization."""
+    plat = os.environ.get("CNMF_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _apply_platform_override()
     _setup_compile_cache()
     cnmf_obj = cNMF(output_dir=args.output_dir, name=args.name)
 

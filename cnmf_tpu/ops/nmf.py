@@ -548,6 +548,20 @@ def _cd_ladder_run(X, state, pos2orig, done_orig, it0, max_iter,
                 break
             cur = len(pos2orig)
             target = next((s for s in reversed(ladder) if s >= alive), cur)
+            if target < cur and len(pending) > 1:
+                # about to re-pack: consume the older in-flight masks too
+                # (each pairs with its own pos2orig snapshot, and its
+                # transfer has had >=1 full segment to land) so the re-pack
+                # sees every convergence the device has reported — without
+                # them, restarts done in the last two segments would ride
+                # along frozen. The NEWEST mask stays pending: reading it
+                # would sync on the still-executing segment.
+                while len(pending) > 1:
+                    read_mask(pending.pop(0))
+                alive = int(B0 - done_orig.sum())
+                if alive == 0:
+                    break
+                target = next((s for s in reversed(ladder) if s >= alive), cur)
             if target < cur:
                 # stream current spectra host-ward, then re-pack survivors
                 spec = _swap_bg_axes(Htd)
@@ -571,7 +585,9 @@ def _cd_ladder_run(X, state, pos2orig, done_orig, it0, max_iter,
                 pos2orig = np.concatenate(
                     [pos2orig[keep], np.full(pad, -1)]
                 )
-                pending = []  # stale positions
+                # the still-pending newest mask stays readable: read_mask
+                # uses the pos2orig snapshot captured WITH the mask handle,
+                # so pre-re-pack positions resolve correctly
 
     fetches.append((_swap_bg_axes(Htd), nd, pos2orig, np.ones(B0, bool)))
     return fetches

@@ -78,8 +78,10 @@ import threading
 _MEMO_LOCK = threading.Lock()
 
 # (B, G, K) solver output → (B, K, G) fetch layout; a device transpose makes
-# the host-side spectra buffer row-contiguous per spectrum (see factorize)
-_swap_components_genes = jax.jit(lambda h: jnp.swapaxes(h, 1, 2))
+# the host-side spectra buffer row-contiguous per spectrum (see factorize).
+# Shared with the grid/staged schedulers — one jitted program, not two
+# duplicate cache entries (each cached-executable load costs seconds on axon).
+from cnmf_tpu.ops.nmf import _swap_bg_axes as _swap_components_genes
 
 # guards the h5ad read cache: the TPM prefetch thread (factorize) and the
 # main thread (consensus) may populate it concurrently
@@ -716,6 +718,9 @@ class cNMF:
             if os.environ.get("CNMF_TPU_PHASES", "0") == "1" else None
         )
         self._factorize_phases = phases
+        # grid-path drain threads and the main dispatch loop update phases
+        # concurrently — += on a dict entry is not atomic
+        self._phases_lock = threading.Lock()
         import time as _time
         _tup = _time.perf_counter()
 
@@ -799,18 +804,29 @@ class cNMF:
                             # 4-byte dependent fetch = solve-completion barrier
                             float(jnp.sum(Ht[0, 0, :1]))
                     _t1 = _time.perf_counter()
-                    phases["solve_wait_s"] += _t1 - _t0
+                    with self._phases_lock:
+                        phases["solve_wait_s"] += _t1 - _t0
                 arrs = [np.asarray(Ht) for Ht in handles]
                 spectra_batch = (
                     arrs[0][:, :k, :] if len(arrs) == 1
                     else np.concatenate([a[:, :k, :] for a in arrs], axis=0)
                 )
+                if (
+                    spectra_batch.base is not None
+                    and spectra_batch.nbytes < spectra_batch.base.nbytes
+                ):
+                    # own the k-slice: memoizing a view of the (B, pad_k, G)
+                    # fetch buffer (or of a grid bucket's merged batch) would
+                    # pin the whole base array in the stack memo — up to ~78%
+                    # over the memo's byte accounting at pad 16 / k 9
+                    spectra_batch = spectra_batch.copy()
                 if phases is not None:
                     _t2 = _time.perf_counter()
-                    phases["result_fetch_s"] += _t2 - _t1
-                    phases["result_bytes"] += sum(
-                        int(np.prod(a.shape)) * a.itemsize for a in arrs
-                    )
+                    with self._phases_lock:
+                        phases["result_fetch_s"] += _t2 - _t1
+                        phases["result_bytes"] += sum(
+                            int(np.prod(a.shape)) * a.itemsize for a in arrs
+                        )
 
                 def write_one(args, k=k, spectra_batch=spectra_batch):
                     i, it = args
@@ -832,7 +848,8 @@ class cNMF:
                 stats = list(pool.map(write_one, enumerate(iters)))
                 self._memo_spectra_stack(k, stats, spectra_batch, gene_index)
                 if phases is not None:
-                    phases["write_s"] += _time.perf_counter() - _t2
+                    with self._phases_lock:
+                        phases["write_s"] += _time.perf_counter() - _t2
 
             # --- staged path (CNMF_TPU_STAGED): phase 1 = the per-K batched
             # dispatches below (natural early exit per K), then the
@@ -879,14 +896,16 @@ class cNMF:
                 ]
                 _t1g = _time.perf_counter()
                 if phases is not None:
-                    phases["init_s"] += _t1g - _t0g
+                    with self._phases_lock:
+                        phases["init_s"] += _t1g - _t0g
                 outs = solve_nmf_staged(Xd, inits, _nmf_kwargs)
                 if phases is not None:
-                    phases["solve_wait_s"] += _time.perf_counter() - _t1g
+                    with self._phases_lock:
+                        phases["solve_wait_s"] += _time.perf_counter() - _t1g
                 for (k, g), (spec, n_iter_h) in zip(entries, outs):
                     self._sweep_counts.append((spec.shape[1], n_iter_h))
-                    if phases is not None:
-                        phases["result_bytes"] += int(spec.nbytes)
+                    # result_bytes counted once inside drain (spec is
+                    # already host-resident, so drain's asarray is free)
                     drain(k, g["iter"].values, [spec])
                 return
 
@@ -950,11 +969,13 @@ class cNMF:
                     del inits
                     _t1g = _time.perf_counter()
                     if phases is not None:
-                        phases["init_s"] += _t1g - _t0g
+                        with self._phases_lock:
+                            phases["init_s"] += _t1g - _t0g
                     spec, n_iter_h = solve_nmf_grid(Xd, W0m, Ht0m, _nmf_kwargs)
                     if phases is not None:
-                        phases["solve_wait_s"] += _time.perf_counter() - _t1g
-                        phases["result_bytes"] += int(spec.nbytes)
+                        # result_bytes counted once inside drain
+                        with self._phases_lock:
+                            phases["solve_wait_s"] += _time.perf_counter() - _t1g
                     self._sweep_counts.append((pad_k, n_iter_h))
                     off = 0
                     slices = []
@@ -1113,8 +1134,9 @@ class cNMF:
             _t2 = _time.perf_counter()
             phases = getattr(self, "_factorize_phases", None)
             if phases is not None:
-                phases["init_s"] += _t1 - _t0
-                phases["dispatch_s"] += _t2 - _t1
+                with self._phases_lock:
+                    phases["init_s"] += _t1 - _t0
+                    phases["dispatch_s"] += _t2 - _t1
             # transpose to (B, pad_k, G) ON DEVICE: the fetched buffer is then
             # row-contiguous per spectrum, so every downstream host step
             # (per-iter file writes, the merged stack memo) is a cheap view

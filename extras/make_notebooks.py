@@ -340,9 +340,12 @@ runname = "example_cNMF"
 
 def run(cmd):
     print("$", cmd)
+    # CNMF_TPU_PLATFORM is applied via jax.config.update inside the CLI —
+    # a plain JAX_PLATFORMS env var loses to sitecustomize presets (e.g.
+    # remote-device plugins), so this is the reliable way to pin CPU
     subprocess.run(
         [sys.executable, "-m", "cnmf_tpu.cli"] + cmd.split(),
-        check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        check=True, env={**os.environ, "CNMF_TPU_PLATFORM": "cpu"})
 
 run(f"prepare --output-dir {data_dir} --name {runname} "
     f"-c {filtered_dir}/matrix.mtx --max-nmf-iter 2000 "
@@ -403,15 +406,23 @@ NOTEBOOKS = {
 
 def main():
     os.makedirs(OUT, exist_ok=True)
-    for name, cells in NOTEBOOKS.items():
+    # --only NAME regenerates/executes a single notebook without clobbering
+    # the other (already-executed) ones
+    names = list(NOTEBOOKS)
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+        if only not in NOTEBOOKS:
+            raise SystemExit(f"unknown notebook {only!r}; have {names}")
+        names = [only]
+    for name in names:
         path = os.path.join(OUT, name)
-        nbf.write(nb(cells), path)
+        nbf.write(nb(NOTEBOOKS[name]), path)
         print("wrote", os.path.normpath(path))
 
     if "--execute" in sys.argv:
         from nbclient import NotebookClient
 
-        for name in NOTEBOOKS:
+        for name in names:
             path = os.path.join(OUT, name)
             print("executing", name, "...")
             notebook = nbf.read(path, as_version=4)

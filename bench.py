@@ -181,10 +181,23 @@ def _run_once(workdir, name, counts_fn, ks, n_iter, hvg, k_cons):
     dev_flops = 0.0
     try:
         n_cells = read_h5ad_shape(obj.paths["normalized_counts"])[0]
-        for pad_k, n_iter_h in getattr(obj, "_sweep_counts", []):
+        for entry in getattr(obj, "_sweep_counts", []):
+            pad_k, n_iter_h = entry[0], entry[1]
             n_arr = np.asarray(n_iter_h)
             cd_flops += 4.0 * n_cells * hvg * pad_k * float(n_arr.sum())
-            dev_flops += 4.0 * n_cells * hvg * pad_k * float(n_arr.max()) * len(n_arr)
+            if len(entry) > 2 and entry[2] is not None:
+                # device-ladder scheduler: executed work is the shrinking
+                # batch's Σ stage_size × stage_sweeps, not B × max(n_iter)
+                sizes, stage_sweeps = entry[2]
+                exec_units = float(
+                    np.dot(np.asarray(sizes, float),
+                           np.asarray(stage_sweeps, float))
+                )
+                dev_flops += 4.0 * n_cells * hvg * pad_k * exec_units
+            else:
+                dev_flops += (
+                    4.0 * n_cells * hvg * pad_k * float(n_arr.max()) * len(n_arr)
+                )
     except Exception as e:
         log(f"[bench:{name}] flops accounting skipped: {e}")
 
@@ -234,7 +247,8 @@ def _run_kl_once(workdir, name, counts_fn, k, n_iter, hvg):
     mu_flops = 0.0
     try:
         n_cells = read_h5ad_shape(obj.paths["normalized_counts"])[0]
-        for pad_k, n_iter_h in getattr(obj, "_sweep_counts", []):
+        for entry in getattr(obj, "_sweep_counts", []):
+            pad_k, n_iter_h = entry[0], entry[1]
             iters = float(np.asarray(n_iter_h).sum())
             mu_flops += 8.0 * n_cells * hvg * pad_k * iters
     except Exception as e:

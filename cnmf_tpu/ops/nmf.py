@@ -236,6 +236,28 @@ def nnls_cd_from_products(
     return W, n_iter
 
 
+def _xla_half_sweeps(X, W, Ht, dtype, update_H,
+                     l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H):
+    """One full CD sweep (W half then H half) via shared-X flat matmuls.
+
+    The single source of sweep math for nmf_cd_segment and the device-ladder
+    scheduler — sklearn sweep order (W before H), gram + data product
+    recomputed per half as the serial solver does."""
+    HHt = jnp.einsum("bgk,bgl->bkl", Ht, Ht, preferred_element_type=dtype,
+                     precision=MATMUL_PRECISION)
+    XHt = _shared_x_dot(X, Ht)
+    W_new, viol_w = _cd_half_sweep(W, HHt, XHt, l1_reg_W, l2_reg_W)
+    if update_H:
+        WtW = jnp.einsum("bnk,bnl->bkl", W_new, W_new,
+                         preferred_element_type=dtype,
+                         precision=MATMUL_PRECISION)
+        XtW = _shared_xt_dot(X, W_new)
+        Ht_new, viol_h = _cd_half_sweep(Ht, WtW, XtW, l1_reg_H, l2_reg_H)
+    else:
+        Ht_new, viol_h = Ht, jnp.zeros_like(viol_w)
+    return W_new, Ht_new, viol_w + viol_h
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -292,19 +314,10 @@ def nmf_cd_segment(
                 Ht_new, viol_h = Ht, jnp.zeros_like(viol_w)
             return W_new, Ht_new, viol_w + viol_h
 
-        HHt = jnp.einsum("bgk,bgl->bkl", Ht, Ht, preferred_element_type=dtype,
-                         precision=MATMUL_PRECISION)
-        XHt = _shared_x_dot(X, Ht)
-        W_new, viol_w = _cd_half_sweep(W, HHt, XHt, l1_reg_W, l2_reg_W)
-        if update_H:
-            WtW = jnp.einsum("bnk,bnl->bkl", W_new, W_new,
-                             preferred_element_type=dtype,
-                             precision=MATMUL_PRECISION)
-            XtW = _shared_xt_dot(X, W_new)
-            Ht_new, viol_h = _cd_half_sweep(Ht, WtW, XtW, l1_reg_H, l2_reg_H)
-        else:
-            Ht_new, viol_h = Ht, jnp.zeros_like(viol_w)
-        return W_new, Ht_new, viol_w + viol_h
+        return _xla_half_sweeps(
+            X, W, Ht, dtype, update_H,
+            l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H,
+        )
 
     def cond(state):
         j, done, *_ = state
@@ -611,6 +624,123 @@ def _extract_grid_results(fetches, B0, K, G, dtype):
             out_n[rows] = n[: len(p2o)][sel]
             extracted[rows] = True
     return out_spec, out_n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter", "tol", "ladder",
+        "l1_reg_W", "l1_reg_H", "l2_reg_W", "l2_reg_H",
+    ),
+)
+def nmf_cd_device_ladder(
+    X, W0, Ht0, *, tol: float = 1e-4, max_iter: int = 200,
+    ladder: tuple = (), l1_reg_W: float = 0.0, l1_reg_H: float = 0.0,
+    l2_reg_W: float = 0.0, l2_reg_H: float = 0.0,
+):
+    """Tail-compacted batched CD with ON-DEVICE restart compaction.
+
+    The plain batched solver pays the slowest restart's sweep count for the
+    whole batch (measured 2.64x the useful FLOPs at the PBMC bench config);
+    every host-mediated compaction scheduler in this module loses that saving
+    back to host↔device latency (the done-mask reads serialize on the relay's
+    single ordered channel). This kernel keeps the *entire* schedule inside
+    ONE XLA program: a Python-unrolled cascade of ``while_loop`` stages at
+    the static batch sizes of ``ladder`` (descending, ladder[0] >= B0). Each
+    stage sweeps until its survivor count fits the next rung (or max_iter);
+    between stages the batch re-packs on device — a stable argsort on the
+    done mask gathers live restarts to the front — and every row's spectra
+    are scattered into a (B0+1)-row output buffer via its original-position
+    index (the +1 row absorbs ladder padding). Replaces the reference's
+    one-process-per-(K,iter) scheduling (reference cnmf.py:692-745) with a
+    single device dispatch and no control-plane traffic at all.
+
+    Exact vs nmf_coordinate_descent: frozen restarts never update, batch
+    position enters no per-restart reduction (the flat shared-X matmul
+    computes each restart's columns independently), dropped rows are always
+    either converged or at max_iter, and a row's final scatter always lands
+    after its last update. Pinned by tests/test_device_ladder.py (identical
+    n_iter, spectra at 1e-6).
+
+    Returns ``(spectra (B0, K, G), n_iter (B0,), stage_sweeps
+    (len(ladder),))`` device arrays — spectra already transposed to fetch
+    layout; ``stage_sweeps[i]`` counts the sweeps executed at batch size
+    ``ladder[i]`` (executed FLOPs = Σ ladder[i]·stage_sweeps[i] restart-
+    sweeps, the honest device-work figure the bench reports); usages are not
+    returned (factorize discards them, reference cnmf.py:742-745).
+    """
+    dtype = W0.dtype
+    B0, N, K = W0.shape
+    G = X.shape[1]
+    if not ladder:
+        ladder = (B0,)
+    assert ladder[0] >= B0 and all(
+        a > b for a, b in zip(ladder, ladder[1:])
+    ), ladder
+    pad = ladder[0] - B0
+    W = jnp.concatenate([W0, jnp.repeat(W0[:1], pad, axis=0)]) if pad else W0
+    Ht = (
+        jnp.concatenate([Ht0, jnp.repeat(Ht0[:1], pad, axis=0)])
+        if pad else Ht0
+    )
+    Bp = ladder[0]
+    done = jnp.arange(Bp) >= B0
+    # original restart id per batch position; padding rows dump into row B0
+    pos = jnp.minimum(jnp.arange(Bp, dtype=jnp.int32), B0)
+    out_Ht = jnp.zeros((B0 + 1, K, G), dtype)
+    out_n = jnp.zeros(B0 + 1, jnp.int32)
+
+    git = jnp.zeros((), jnp.int32)
+    vi = jnp.zeros(Bp, dtype)
+    ni = jnp.zeros(Bp, jnp.int32)
+    stage_ends = []
+
+    for si, s in enumerate(ladder):
+        nxt = ladder[si + 1] if si + 1 < len(ladder) else 0
+
+        def cond(st, nxt=nxt, s=s):
+            git, W, Ht, vi, ni, done, pos = st
+            alive = s - jnp.sum(done)
+            return jnp.logical_and(git < max_iter, alive > nxt)
+
+        def body(st):
+            git, W, Ht, vi, ni, done, pos = st
+            W_new, Ht_new, violation = _xla_half_sweeps(
+                X, W, Ht, dtype, True,
+                l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H,
+            )
+            violation = violation.astype(dtype)
+            vi = jnp.where(git == 0, violation, vi)
+            keep = jnp.logical_not(done)
+            W = jnp.where(keep[:, None, None], W_new, W)
+            Ht = jnp.where(keep[:, None, None], Ht_new, Ht)
+            ni = jnp.where(keep, git + 1, ni)
+            newly_done = jnp.where(
+                vi == 0, True,
+                violation / jnp.maximum(vi, EPSILON) <= tol,
+            )
+            done = jnp.logical_or(done, newly_done)
+            return git + 1, W, Ht, vi, ni, done, pos
+
+        git, W, Ht, vi, ni, done, pos = jax.lax.while_loop(
+            cond, body, (git, W, Ht, vi, ni, done, pos)
+        )
+        # flush this stage's rows to the output buffer: finished rows are
+        # final here; rows that ride on are overwritten by a later flush
+        out_Ht = out_Ht.at[pos].set(jnp.swapaxes(Ht, 1, 2))
+        out_n = out_n.at[pos].set(ni)
+        stage_ends.append(git)
+        if nxt:
+            # survivors to the front (stable: preserves restart order),
+            # then shrink to the next static rung
+            order = jnp.argsort(done, stable=True)[:nxt]
+            W, Ht = W[order], Ht[order]
+            vi, ni = vi[order], ni[order]
+            done, pos = done[order], pos[order]
+
+    ends = jnp.stack(stage_ends)
+    stage_sweeps = jnp.diff(ends, prepend=jnp.zeros(1, ends.dtype))
+    return out_Ht[:B0], out_n[:B0], stage_sweeps
 
 
 def nmf_cd_staged(

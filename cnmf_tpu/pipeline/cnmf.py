@@ -65,6 +65,7 @@ from cnmf_tpu.pipeline.solvers import (
     refit_spectra_transposed,
     refit_usages,
     solve_nmf_batch,
+    solve_nmf_batch_ladder,
     solve_nmf_batch_sharded,
     solve_nmf_grid,
     solve_nmf_staged,
@@ -1107,6 +1108,7 @@ class cNMF:
 
             _t1 = _time.perf_counter()
             mesh = None
+            Hs_ladder = None
             if multi_device:
                 mesh = build_mesh()
                 # beta != 2 solves run under shard_map over the restart axis
@@ -1123,14 +1125,44 @@ class cNMF:
                     os.environ.get("CNMF_TPU_COMPACT", "0") == "1"
                     and nmf_kwargs.get("solver", "cd") == "cd"
                 )
-                W, Ht, n_iter = solve_nmf_batch(
-                    Xd, jnp.asarray(W0), jnp.asarray(Ht0), nmf_kwargs,
-                    compact=use_compact,
+                # on-device ladder compaction: the shrinking-batch schedule
+                # runs inside ONE program (no host control reads), so the
+                # tail savings survive the relay's dispatch latency —
+                # measured 1.66x faster solves at the bench config (real
+                # norm_counts, K=13/8/5 x 100). Default ON for the TPU
+                # backend; CPU keeps the plain batched solver so the f32
+                # factors stay on the sklearn-identical trajectory
+                # (re-packing changes matmul batch sizes, which perturbs f32
+                # reduction order — see tests/test_device_ladder.py).
+                dladder_env = os.environ.get("CNMF_TPU_DEVICE_LADDER", "")
+                use_dladder = (
+                    (dladder_env == "1" or
+                     (dladder_env != "0"
+                      and jax.default_backend() == "tpu"))
+                    and not use_compact
+                    and nmf_kwargs.get("solver", "cd") == "cd"
                 )
+                if use_dladder:
+                    Hs_ladder, n_iter, ladder_exec = solve_nmf_batch_ladder(
+                        Xd, jnp.asarray(W0), jnp.asarray(Ht0), nmf_kwargs
+                    )
+                    W = Ht = None
+                else:
+                    ladder_exec = None
+                    W, Ht, n_iter = solve_nmf_batch(
+                        Xd, jnp.asarray(W0), jnp.asarray(Ht0), nmf_kwargs,
+                        compact=use_compact,
+                    )
             if trace:
                 jax.block_until_ready(n_iter)
             if hasattr(self, "_sweep_counts"):
-                self._sweep_counts.append((pad_k, n_iter))
+                # third element (ladder-scheduler runs only): (ladder sizes,
+                # per-stage sweep counts) so executed-FLOP accounting reflects
+                # the shrinking batch instead of B × max(n_iter)
+                entry = (pad_k, n_iter)
+                if mesh is None and Hs_ladder is not None:
+                    entry = (pad_k, n_iter, ladder_exec)
+                self._sweep_counts.append(entry)
             _t2 = _time.perf_counter()
             phases = getattr(self, "_factorize_phases", None)
             if phases is not None:
@@ -1140,9 +1172,13 @@ class cNMF:
             # transpose to (B, pad_k, G) ON DEVICE: the fetched buffer is then
             # row-contiguous per spectrum, so every downstream host step
             # (per-iter file writes, the merged stack memo) is a cheap view
-            # instead of a strided 65 MB gather
-            Hs = _swap_components_genes(Ht) if isinstance(Ht, jax.Array) \
-                else np.swapaxes(np.asarray(Ht), 1, 2)
+            # instead of a strided 65 MB gather (the device-ladder solver
+            # already emits fetch layout)
+            if Hs_ladder is not None:
+                Hs = Hs_ladder
+            else:
+                Hs = _swap_components_genes(Ht) if isinstance(Ht, jax.Array) \
+                    else np.swapaxes(np.asarray(Ht), 1, 2)
             if isinstance(Hs, jax.Array) and not fetch and chunk >= B:
                 try:
                     # start the device→host bytes moving NOW — the transfer

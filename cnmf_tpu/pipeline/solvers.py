@@ -20,6 +20,8 @@ from cnmf_tpu.ops.init import nnls_w_init
 from cnmf_tpu.ops.nmf import (
     MATMUL_PRECISION,
     _shared_x_dot,
+    _ladder,
+    nmf_cd_device_ladder,
     nmf_cd_grid,
     nmf_cd_staged,
     nmf_coordinate_descent,
@@ -198,6 +200,37 @@ def solve_nmf_grid(X, W0, Ht0, nmf_kwargs: dict,
         l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
         seg_len=seg_len, min_bucket=min_bucket,
     )
+
+
+def solve_nmf_batch_ladder(X, W0, Ht0, nmf_kwargs: dict,
+                           min_bucket: int = 16):
+    """Tail-compacted CD with on-device restart compaction (see
+    ops.nmf.nmf_cd_device_ladder) — the whole shrinking-batch schedule is
+    ONE device program, no host control reads. Returns
+    ``(spectra (B, pad_k, G) device, n_iter (B,) device, (ladder sizes,
+    stage_sweeps device))`` — spectra already in fetch layout; the third
+    element feeds executed-FLOP accounting. CD/frobenius, update_H=True
+    only."""
+    solver = nmf_kwargs.get("solver", "cd")
+    beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+    if solver != "cd" or beta != 2.0:
+        raise ValueError("solve_nmf_batch_ladder is CD/frobenius only")
+    l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H = compute_regularization(
+        float(nmf_kwargs.get("alpha_W", 0.0)),
+        nmf_kwargs.get("alpha_H", "same"),
+        float(nmf_kwargs.get("l1_ratio", 0.0)),
+        X.shape,
+    )
+    ladder = tuple(_ladder(int(W0.shape[0]), min_bucket))
+    spec, n_iter, stage_sweeps = nmf_cd_device_ladder(
+        X, W0, Ht0,
+        tol=float(nmf_kwargs.get("tol", 1e-4)),
+        max_iter=int(nmf_kwargs.get("max_iter", 200)),
+        ladder=ladder,
+        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+    )
+    return spec, n_iter, (ladder, stage_sweeps)
 
 
 def solve_nmf_staged(X, inits, nmf_kwargs: dict,

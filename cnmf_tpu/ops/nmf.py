@@ -1214,6 +1214,129 @@ def nmf_multiplicative_update(
     return W, Ht, n_iter
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "beta", "tol", "max_iter", "ladder",
+        "l1_reg_W", "l1_reg_H", "l2_reg_W", "l2_reg_H",
+        "chunk", "use_pallas",
+    ),
+)
+def nmf_mu_device_ladder(
+    X, W0, Ht0, *, beta: float = 2.0, tol: float = 1e-4,
+    max_iter: int = 200, ladder: tuple = (),
+    l1_reg_W: float = 0.0, l1_reg_H: float = 0.0,
+    l2_reg_W: float = 0.0, l2_reg_H: float = 0.0,
+    chunk: int = 8, use_pallas: bool = False,
+):
+    """Batched MU with on-device ladder compaction — the MU twin of
+    ``nmf_cd_device_ladder`` (same while_loop cascade / argsort re-pack /
+    output scatter; see that docstring for the schedule design). MU
+    convergence state (``prev_error``, ``error_init``) rides the re-pack
+    gathers; the every-10-sweeps error check uses the global sweep counter,
+    so check cadence is identical to ``nmf_multiplicative_update`` and the
+    results match it exactly at f64 (tests/test_device_ladder.py). At the
+    KL bench config the restart distribution is mean 104 / max 200 sweeps —
+    ~1.9x executed-FLOP headroom for the shrinking batch.
+
+    Returns ``(spectra (B0, K, G), n_iter (B0,), stage_sweeps)``.
+    """
+    dtype = W0.dtype
+    B0, N, K = W0.shape
+    G = X.shape[1]
+    eps64 = float(np.finfo(np.float64).eps)
+    if beta < 1:
+        gamma = 1.0 / (2.0 - beta)
+    elif beta > 2:
+        gamma = 1.0 / (beta - 1.0)
+    else:
+        gamma = 1.0
+
+    if not ladder:
+        ladder = (B0,)
+    assert ladder[0] >= B0 and all(
+        a > b for a, b in zip(ladder, ladder[1:])
+    ), ladder
+    pad = ladder[0] - B0
+    W = jnp.concatenate([W0, jnp.repeat(W0[:1], pad, axis=0)]) if pad else W0
+    Ht = (
+        jnp.concatenate([Ht0, jnp.repeat(Ht0[:1], pad, axis=0)])
+        if pad else Ht0
+    )
+    Bp = ladder[0]
+    done = jnp.arange(Bp) >= B0
+    pos = jnp.minimum(jnp.arange(Bp, dtype=jnp.int32), B0)
+    out_Ht = jnp.zeros((B0 + 1, K, G), dtype)
+    out_n = jnp.zeros(B0 + 1, jnp.int32)
+
+    err_init = beta_divergence_error(X, W, Ht, beta, chunk, use_pallas)
+    err_init = err_init.astype(dtype)
+    prev_err = err_init
+    git = jnp.zeros((), jnp.int32)
+    ni = jnp.zeros(Bp, jnp.int32)
+    stage_ends = []
+
+    for si, s in enumerate(ladder):
+        nxt = ladder[si + 1] if si + 1 < len(ladder) else 0
+
+        def cond(st, nxt=nxt, s=s):
+            git, W, Ht, prev_err, e0, ni, done, pos = st
+            alive = s - jnp.sum(done)
+            return jnp.logical_and(git < max_iter, alive > nxt)
+
+        def body(st):
+            git, W, Ht, prev_err, e0, ni, done, pos = st
+            W_new = _mu_update_w(
+                X, W, Ht, beta, gamma, l1_reg_W, l2_reg_W, chunk, use_pallas
+            )
+            if beta < 1:
+                W_new = jnp.where(W_new < eps64, 0.0, W_new)
+            Ht_new = _mu_update_h(
+                X, W_new, Ht, beta, gamma, l1_reg_H, l2_reg_H, chunk,
+                use_pallas,
+            )
+            if beta <= 1:
+                Ht_new = jnp.where(Ht_new < eps64, 0.0, Ht_new)
+
+            keep = jnp.logical_not(done)
+            W = jnp.where(keep[:, None, None], W_new, W)
+            Ht = jnp.where(keep[:, None, None], Ht_new, Ht)
+            ni = jnp.where(keep, git + 1, ni)
+            git = git + 1
+
+            def check(args):
+                done, prev_err = args
+                error = beta_divergence_error(
+                    X, W, Ht, beta, chunk, use_pallas
+                ).astype(dtype)
+                newly_done = (
+                    (prev_err - error) / jnp.maximum(e0, EPSILON) < tol
+                )
+                return jnp.logical_or(done, newly_done), error
+
+            if tol > 0:
+                done, prev_err = jax.lax.cond(
+                    git % 10 == 0, check, lambda a: a, (done, prev_err)
+                )
+            return git, W, Ht, prev_err, e0, ni, done, pos
+
+        git, W, Ht, prev_err, err_init, ni, done, pos = jax.lax.while_loop(
+            cond, body, (git, W, Ht, prev_err, err_init, ni, done, pos)
+        )
+        out_Ht = out_Ht.at[pos].set(jnp.swapaxes(Ht, 1, 2))
+        out_n = out_n.at[pos].set(ni)
+        stage_ends.append(git)
+        if nxt:
+            order = jnp.argsort(done, stable=True)[:nxt]
+            W, Ht = W[order], Ht[order]
+            prev_err, err_init = prev_err[order], err_init[order]
+            ni, done, pos = ni[order], done[order], pos[order]
+
+    ends = jnp.stack(stage_ends)
+    stage_sweeps = jnp.diff(ends, prepend=jnp.zeros(1, ends.dtype))
+    return out_Ht[:B0], out_n[:B0], stage_sweeps
+
+
 @functools.partial(jax.jit, static_argnames=("row_chunk",))
 def reconstruction_sse(X: jax.Array, W: jax.Array, H: jax.Array,
                        row_chunk: int = 4096) -> jax.Array:

@@ -40,8 +40,14 @@ def _kl_w_terms_kernel(x_ref, w_ref, h_ref, num_ref):
     )
 
 
-def _pick_tile(n: int, g: int, k: int, vmem_budget: int = 8 * 2**20) -> int:
-    """Row-tile size: keep x/wh/ratio tiles within the VMEM budget."""
+def _pick_tile(n: int, g: int, k: int, vmem_budget: int = 6 * 2**20) -> int:
+    """Row-tile size: keep x/wh/ratio tiles within the VMEM budget.
+
+    The budget leaves headroom under the 16 MB scoped-vmem limit for the
+    pipeline's double buffering of the X block across grid steps: at 8 MB
+    the compiled allocation lands at ~17 MB when the call sits inside a
+    larger program (measured OOM inside the device-ladder while cascade at
+    G=2000), so 6 MB keeps 2×(tile×G×4B) + factor tiles ≈ 12-13 MB."""
     per_row = (2 * g + 2 * k) * 4  # x + wh/ratio (reused) + w + num, f32
     tile = max(vmem_budget // max(per_row, 1), 8)
     tile = min(tile, n, 1024)

@@ -1136,12 +1136,10 @@ class cNMF:
                 # reduction order — see tests/test_device_ladder.py).
                 dladder_env = os.environ.get("CNMF_TPU_DEVICE_LADDER", "")
                 use_dladder = (
-                    (dladder_env == "1" or
-                     (dladder_env != "0"
-                      and jax.default_backend() == "tpu"))
-                    and not use_compact
-                    and nmf_kwargs.get("solver", "cd") == "cd"
-                )
+                    dladder_env == "1" or
+                    (dladder_env != "0"
+                     and jax.default_backend() == "tpu")
+                ) and not use_compact
                 if use_dladder:
                     Hs_ladder, n_iter, ladder_exec = solve_nmf_batch_ladder(
                         Xd, jnp.asarray(W0), jnp.asarray(Ht0), nmf_kwargs

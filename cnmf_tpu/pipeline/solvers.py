@@ -22,6 +22,7 @@ from cnmf_tpu.ops.nmf import (
     _shared_x_dot,
     _ladder,
     nmf_cd_device_ladder,
+    nmf_mu_device_ladder,
     nmf_cd_grid,
     nmf_cd_staged,
     nmf_coordinate_descent,
@@ -203,18 +204,17 @@ def solve_nmf_grid(X, W0, Ht0, nmf_kwargs: dict,
 
 
 def solve_nmf_batch_ladder(X, W0, Ht0, nmf_kwargs: dict,
-                           min_bucket: int = 16):
-    """Tail-compacted CD with on-device restart compaction (see
-    ops.nmf.nmf_cd_device_ladder) — the whole shrinking-batch schedule is
-    ONE device program, no host control reads. Returns
-    ``(spectra (B, pad_k, G) device, n_iter (B,) device, (ladder sizes,
-    stage_sweeps device))`` — spectra already in fetch layout; the third
-    element feeds executed-FLOP accounting. CD/frobenius, update_H=True
-    only."""
+                           min_bucket: int = 16, mu_chunk: int = 8,
+                           allow_pallas: bool = True):
+    """Tail-compacted solve with on-device restart compaction (see
+    ops.nmf.nmf_cd_device_ladder / nmf_mu_device_ladder) — the whole
+    shrinking-batch schedule is ONE device program, no host control reads.
+    Dispatches CD (frobenius) or MU (any beta) by the sklearn-style kwargs.
+    Returns ``(spectra (B, pad_k, G) device, n_iter (B,) device, (ladder
+    sizes, stage_sweeps device))`` — spectra already in fetch layout; the
+    third element feeds executed-FLOP accounting. update_H=True only."""
     solver = nmf_kwargs.get("solver", "cd")
     beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
-    if solver != "cd" or beta != 2.0:
-        raise ValueError("solve_nmf_batch_ladder is CD/frobenius only")
     l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H = compute_regularization(
         float(nmf_kwargs.get("alpha_W", 0.0)),
         nmf_kwargs.get("alpha_H", "same"),
@@ -222,14 +222,27 @@ def solve_nmf_batch_ladder(X, W0, Ht0, nmf_kwargs: dict,
         X.shape,
     )
     ladder = tuple(_ladder(int(W0.shape[0]), min_bucket))
-    spec, n_iter, stage_sweeps = nmf_cd_device_ladder(
-        X, W0, Ht0,
-        tol=float(nmf_kwargs.get("tol", 1e-4)),
-        max_iter=int(nmf_kwargs.get("max_iter", 200)),
-        ladder=ladder,
-        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
-        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
-    )
+    tol = float(nmf_kwargs.get("tol", 1e-4))
+    max_iter = int(nmf_kwargs.get("max_iter", 200))
+    if solver == "cd":
+        if beta != 2.0:
+            raise ValueError("CD solver supports frobenius loss only")
+        spec, n_iter, stage_sweeps = nmf_cd_device_ladder(
+            X, W0, Ht0, tol=tol, max_iter=max_iter, ladder=ladder,
+            l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+            l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+        )
+    else:
+        use_pallas = allow_pallas and mu_pallas_eligible(
+            beta, jnp.asarray(W0).dtype
+        )
+        spec, n_iter, stage_sweeps = nmf_mu_device_ladder(
+            X, W0, Ht0, beta=beta, tol=tol, max_iter=max_iter,
+            ladder=ladder,
+            l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+            l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+            chunk=mu_chunk, use_pallas=use_pallas,
+        )
     return spec, n_iter, (ladder, stage_sweeps)
 
 

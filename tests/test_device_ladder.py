@@ -179,3 +179,29 @@ print("AB OK")
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "AB OK" in proc.stdout
+
+
+@pytest.mark.parametrize("beta,tol", [(1.0, 1e-3), (2.0, 1e-3)])
+def test_mu_device_ladder_matches_plain_solver_f64(beta, tol):
+    from cnmf_tpu.ops.nmf import nmf_mu_device_ladder, nmf_multiplicative_update
+
+    rng = np.random.RandomState(2)
+    N, G, k, B = 40, 30, 4, 20
+    X = np.abs(rng.standard_normal((N, G))) + 0.1
+    Xd = jnp.asarray(X)
+    W0 = np.abs(rng.standard_normal((B, N, k))) + 0.1
+    Ht0 = np.abs(rng.standard_normal((B, G, k))) + 0.1
+
+    _, Ht_ref, n_ref = nmf_multiplicative_update(
+        Xd, jnp.asarray(W0), jnp.asarray(Ht0),
+        beta=beta, tol=tol, max_iter=200,
+    )
+    spec_ref = np.swapaxes(np.asarray(Ht_ref), 1, 2)
+
+    spec, n, stage_sweeps = nmf_mu_device_ladder(
+        Xd, jnp.asarray(W0), jnp.asarray(Ht0),
+        beta=beta, tol=tol, max_iter=200, ladder=tuple(_ladder(B, 8)),
+    )
+    assert int(np.asarray(stage_sweeps).sum()) == int(np.asarray(n_ref).max())
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(n_ref))
+    np.testing.assert_allclose(np.asarray(spec), spec_ref, rtol=0, atol=1e-10)

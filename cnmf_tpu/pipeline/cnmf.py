@@ -61,6 +61,7 @@ from cnmf_tpu.pipeline.solvers import (
     beta_loss_to_float,
     cd_pallas_eligible,
     compute_regularization,
+    device_ladder_enabled,
     mu_pallas_eligible,
     refit_spectra_transposed,
     refit_usages,
@@ -930,6 +931,16 @@ class cNMF:
                     _nmf_kwargs.get("beta_loss", "frobenius")
                 ) == 2.0
             )
+            # (A bucket-merged DEVICE-ladder variant — all restarts sharing
+            # a pad-K bucket as ONE ladder program through this plumbing —
+            # was measured a LOSS vs the per-K device ladder: 1.63 s vs
+            # 1.19 s on the pad-16 bucket, real norm_counts. Merging
+            # executes MORE restart-sweeps (147.6k vs 136.5k — fast Ks ride
+            # the 504-wide early stages until the halving rungs catch up)
+            # and runs each less efficiently (11.0 vs 8.7 µs/restart-sweep
+            # at B=504 vs 104). Device-efficiency loss, not a relay
+            # artifact, so the per-K ladder in _factorize_one_k stays the
+            # default schedule.)
             if use_grid:
                 buckets = {}
                 for k, group in sub.groupby("n_components", sort=True):
@@ -1134,12 +1145,7 @@ class cNMF:
                 # factors stay on the sklearn-identical trajectory
                 # (re-packing changes matmul batch sizes, which perturbs f32
                 # reduction order — see tests/test_device_ladder.py).
-                dladder_env = os.environ.get("CNMF_TPU_DEVICE_LADDER", "")
-                use_dladder = (
-                    dladder_env == "1" or
-                    (dladder_env != "0"
-                     and jax.default_backend() == "tpu")
-                ) and not use_compact
+                use_dladder = device_ladder_enabled() and not use_compact
                 if use_dladder:
                     Hs_ladder, n_iter, ladder_exec = solve_nmf_batch_ladder(
                         Xd, jnp.asarray(W0), jnp.asarray(Ht0), nmf_kwargs

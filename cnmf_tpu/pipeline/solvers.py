@@ -203,6 +203,15 @@ def solve_nmf_grid(X, W0, Ht0, nmf_kwargs: dict,
     )
 
 
+def device_ladder_enabled() -> bool:
+    """Resolve the CNMF_TPU_DEVICE_LADDER knob: '1' forces the on-device
+    ladder everywhere, '0' disables it, unset enables it on the TPU backend
+    only (CPU keeps the plain batched solver so f32 factors stay on the
+    sklearn-identical trajectory — see tests/test_device_ladder.py)."""
+    env = os.environ.get("CNMF_TPU_DEVICE_LADDER", "")
+    return env == "1" or (env != "0" and jax.default_backend() == "tpu")
+
+
 def solve_nmf_batch_ladder(X, W0, Ht0, nmf_kwargs: dict,
                            min_bucket: int = 16, mu_chunk: int = 8,
                            allow_pallas: bool = True):

@@ -124,6 +124,10 @@ def _cd_half_sweep(F, G, P, l1_reg: float, l2_reg: float):
     # 1000-sweep units, interleaved arms) is monotonically slower — 40.9
     # TFLOP/s rolled vs 28.5 fully unrolled at bench shapes. XLA reuses the
     # loop buffers across iterations; the unrolled HLO loses that aliasing.
+    # A K-major (B,K,M) factor layout (M in lanes for the column slices,
+    # transpose-free grams/products) was also measured a LOSS on-device —
+    # 7.4 vs 10.4 TFLOP/s, 250-sweep units, min-of-4 interleaved arms at
+    # bench shapes — so the (B,M,K) layout stays.
     F, violation = jax.lax.fori_loop(0, K, col_update, (F, violation0))
     return F, violation
 

@@ -270,6 +270,14 @@ def main():
     # wall-clock decomposition of factorize into the bench artifact
     # (upload / init / dispatch / solve-wait / result-fetch / write)
     os.environ.setdefault("CNMF_TPU_PHASES", "1")
+    # prepare is WRITE-bound once the disk's burst credit is spent (measured
+    # 1.7 s with page cache vs 27 s throttled at ~45 MB/s for the same
+    # ~260 MB of h5ad artifacts): store tpm/norm_counts at f32 (halves the
+    # bytes; consensus artifacts within f32 rounding — library default stays
+    # the reference's f64) and overlap the writes with the factorize device
+    # programs (single-process pipeline; reads join the writer)
+    os.environ.setdefault("CNMF_TPU_PREPARE_DTYPE", "float32")
+    os.environ.setdefault("CNMF_TPU_ASYNC_WRITES", "1")
 
     # Persistent compilation cache: the solver programs are shape-stable
     # (K bucketing), so everything after the first-ever run reuses compiled

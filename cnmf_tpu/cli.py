@@ -136,6 +136,11 @@ def main(argv=None):
     elif args.command == "k_selection_plot":
         cnmf_obj.k_selection_plot(close_fig=True)
 
+    # CNMF_TPU_ASYNC_WRITES=1: a stage's background artifact writes must be
+    # durable — and any write failure must be raised, not swallowed at
+    # interpreter exit — before the CLI process reports success
+    cnmf_obj.flush_writes()
+
 
 if __name__ == "__main__":
     main()

@@ -345,6 +345,7 @@ class cNMF:
         sweep over many K values re-reads the same norm_counts / tpm files
         (the full-gene tpm is hundreds of MB). Thread-safe: the TPM prefetch
         thread and the main thread may both populate it."""
+        self._flush_pending_write(path)
         with _H5AD_LOCK:
             cache = getattr(self, "_h5ad_cache", None)
             if cache is None:
@@ -374,32 +375,40 @@ class cNMF:
         if os.environ.get("CNMF_TPU_PREFETCH_TPM", "1") != "1":
             return
         tpm_path = self.paths["tpm"]
-        if not os.path.isfile(tpm_path):
+        with _H5AD_LOCK:
+            write_pending = tpm_path in (
+                getattr(self, "_pending_writes", None) or {}
+            )
+        # an async prepare write still in flight (CNMF_TPU_ASYNC_WRITES=1)
+        # owns the file's existence; the prefetch thread joins it below —
+        # joining HERE (the main thread, at factorize start) would serialize
+        # exactly the write the knob overlaps with the solver programs
+        if not (write_pending or os.path.isfile(tpm_path)):
             return
         prev = getattr(self, "_tpm_prefetch_thread", None)
         if prev is not None and prev.is_alive():
             return  # an upload is already in flight
 
-        # size gate BEFORE spawning: at atlas scale the dense TPM exceeds the
-        # device budget and the thread would read a multi-GB h5ad for nothing
-        try:
-            from cnmf_tpu.io.h5ad import read_h5ad_shape
-            n, g = read_h5ad_shape(tpm_path)
-        except Exception:
-            return
-        # stricter than the consensus-time gate: the prefetched DEVICE buffer
-        # coexists with factorize's solver working set (~4 GB budget), so
-        # only upload TPMs up to HALF the usual device limit — larger ones
-        # get a HOST-side read warm-up only (consensus's sparse-products
-        # path consumes the host CSR directly, and its h5ad read is ~11 s
-        # at the 100k×20k atlas scale; h5py releases the GIL, so the read
-        # rides along under the device-bound solver programs)
-        to_device = (
-            n * g * self.compute_dtype.itemsize < 0.5 * self._tpm_device_limit()
-        )
-
         def run():
             try:
+                self._flush_pending_write(tpm_path)
+                # size gate before the bulk read: at atlas scale the dense
+                # TPM exceeds the device budget and a full read of a
+                # multi-GB h5ad would buy nothing. Stricter than the
+                # consensus-time gate: the prefetched DEVICE buffer coexists
+                # with factorize's solver working set (~4 GB budget), so
+                # only upload TPMs up to HALF the usual device limit —
+                # larger ones get a HOST-side read warm-up only (consensus's
+                # sparse-products path consumes the host CSR directly, and
+                # its h5ad read is ~11 s at the 100k×20k atlas scale; h5py
+                # releases the GIL, so the read rides along under the
+                # device-bound solver programs)
+                from cnmf_tpu.io.h5ad import read_h5ad_shape
+                n, g = read_h5ad_shape(tpm_path)
+                to_device = (
+                    n * g * self.compute_dtype.itemsize
+                    < 0.5 * self._tpm_device_limit()
+                )
                 tpm = self._read_h5ad_cached(tpm_path)
                 if to_device:
                     self._device_cached(
@@ -467,6 +476,10 @@ class cNMF:
         tpm + tpm_stats, norm_counts, the HVG list, the replicate-parameter
         table and the YAML solver kwargs.
         """
+        # a prior prepare's async writes must land before this one's
+        # overwrite them (and before the shutil.copy tpm branch bypasses the
+        # writer queue)
+        self.flush_writes()
         input_counts = load_counts(counts_fn, densify=densify)
         if sp.issparse(input_counts.X) and densify:
             input_counts.X = np.asarray(input_counts.X.todense())
@@ -551,8 +564,7 @@ class cNMF:
             )
         return norm_counts
 
-    @staticmethod
-    def _write_prepare_h5ad(path, adata):
+    def _write_prepare_h5ad(self, path, adata):
         """Write a prepare-stage h5ad, optionally at a reduced storage dtype
         (CNMF_TPU_PREPARE_DTYPE=float32). The default keeps the reference's
         float64 on-disk contract; float32 halves the value bytes written —
@@ -560,7 +572,19 @@ class cNMF:
         writes, that is nearly halving prepare wall time — while every
         solver consumes compute_dtype (f32 by default) downstream anyway.
         The IN-MEMORY matrix is untouched: HVG stats / tpm_stats keep full
-        input precision; only the stored artifact narrows."""
+        input precision; only the stored artifact narrows.
+
+        ``CNMF_TPU_ASYNC_WRITES=1`` dispatches the write to a single background
+        writer thread so the (possibly hundreds of MB, writeback-throttled)
+        h5ad flush overlaps the device-bound factorize stage in a
+        same-process pipeline. Ordering is preserved (one worker); every
+        same-process read of these paths joins the pending write first
+        (``_flush_pending_write``), and interpreter exit joins the writer
+        pool, so stage-per-process CLI runs still see durable files. The
+        knob relaxes only one semantic: ``prepare()`` RETURNING no longer
+        implies the files are on disk, so a Python caller that launches
+        EXTERNAL worker processes immediately after prepare() must call
+        ``flush_writes()`` first — hence opt-in (default '0')."""
         dt = os.environ.get("CNMF_TPU_PREPARE_DTYPE", "")
         X = adata.X
         if dt and np.dtype(dt) != (X.data.dtype if sp.issparse(X) else
@@ -572,7 +596,57 @@ class cNMF:
             else:
                 Xc = np.asarray(X).astype(dtype)
             adata = AnnData(X=Xc, obs=adata.obs, var=adata.var)
-        write_h5ad(path, adata)
+
+        def write_and_seed():
+            write_h5ad(path, adata)
+            # seed the read cache with the object just written (the narrowed
+            # variant when the dtype knob is set — exactly what a fresh read
+            # returns), so the same-process downstream stage skips the
+            # read-back entirely
+            with _H5AD_LOCK:
+                cache = getattr(self, "_h5ad_cache", None)
+                if cache is None:
+                    cache = self._h5ad_cache = {}
+                cache[path] = (os.path.getmtime(path), adata)
+
+        if os.environ.get("CNMF_TPU_ASYNC_WRITES", "0") == "1":
+            import concurrent.futures
+
+            with _H5AD_LOCK:
+                pool = getattr(self, "_writer_pool", None)
+                if pool is None:
+                    pool = self._writer_pool = (
+                        concurrent.futures.ThreadPoolExecutor(
+                            max_workers=1,
+                            thread_name_prefix="cnmf-tpu-writer",
+                        )
+                    )
+                pending = getattr(self, "_pending_writes", None)
+                if pending is None:
+                    pending = self._pending_writes = {}
+                pending[path] = pool.submit(write_and_seed)
+        else:
+            write_and_seed()
+
+    def _flush_pending_write(self, path):
+        """Join the in-flight background write for ``path`` (if any),
+        re-raising its exception at the consumer."""
+        with _H5AD_LOCK:
+            fut = (getattr(self, "_pending_writes", None) or {}).pop(path, None)
+        if fut is not None:
+            fut.result()
+
+    def flush_writes(self):
+        """Join every in-flight background artifact write
+        (CNMF_TPU_ASYNC_WRITES=1), re-raising the first failure. Call before
+        handing the run directory to another process."""
+        with _H5AD_LOCK:
+            pending = getattr(self, "_pending_writes", None)
+            futs = list(pending.items()) if pending else []
+            if pending:
+                pending.clear()
+        for _, fut in futs:
+            fut.result()
 
     def save_norm_counts(self, norm_counts: AnnData):
         self._initialize_dirs()

@@ -30,6 +30,10 @@ def main():
                         help="Keep the per-(K, iter) spectra files after combine")
     args = parser.parse_args()
 
+    # single-process pipeline: prepare's h5ad writes can safely overlap the
+    # factorize device programs (reads join the writer; see CLAUDE.md)
+    os.environ.setdefault("CNMF_TPU_ASYNC_WRITES", "1")
+
     from cnmf_tpu import cNMF
 
     obj = cNMF(output_dir=args.output_dir, name=args.name)
@@ -39,6 +43,7 @@ def main():
     obj.factorize()
     obj.combine()
     obj.k_selection_plot(close_fig=True)
+    obj.flush_writes()
 
     if not args.keep_individual_iterations:
         pattern = os.path.join(

@@ -2,14 +2,22 @@
 
 Mirrors the reference's input-format matrix (reference cnmf.py:383-433):
 ``.h5ad`` → h5ad codec; ``.mtx``/``.mtx.gz`` → 10x directory; ``.npz`` →
-DataFrame npz; anything else → tab-delimited text. ``densify`` controls the
-dense/CSR representation of DataFrame-sourced inputs.
+DataFrame npz; anything else → tab-delimited text.
+
+DataFrame-sourced inputs (txt / df.npz) stay DENSE, exactly as the
+reference keeps them (its ``--densify`` only converts sparse inputs the
+other way, cnmf.py:405-406) — downstream sparse-vs-dense behavioral forks
+(e.g. the zero-std guard in get_norm_counts) key off the input format, and
+converting a mostly-nonzero counts table to CSR costs a ~GB-scale
+first-touch allocation pass measured at 30+ s on this host class for a
+216 MB matrix.
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import scipy.sparse as sp
 
@@ -29,10 +37,11 @@ def load_counts(counts_fn: str, densify: bool = False) -> AnnData:
             df = load_df_from_npz(counts_fn)
         else:
             df = pd.read_csv(counts_fn, sep="\t", index_col=0)
-        X = df.values if densify else sp.csr_matrix(df.values)
         adata = AnnData(
-            X=X,
+            X=df.values,
             obs=pd.DataFrame(index=df.index),
             var=pd.DataFrame(index=df.columns),
         )
+    if densify and sp.issparse(adata.X):
+        adata.X = np.asarray(adata.X.todense())
     return adata

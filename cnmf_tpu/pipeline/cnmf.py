@@ -55,7 +55,7 @@ from cnmf_tpu.ops.stats import get_highvar_genes, mean_var
 from cnmf_tpu.parallel.mesh import build_mesh, put_cells
 from cnmf_tpu.pipeline.paths import build_paths
 from cnmf_tpu.pipeline.plots import clustergram, k_selection_figure
-from cnmf_tpu.utils.timing import timed
+from cnmf_tpu.utils.timing import stage_timer, timed
 from cnmf_tpu.ops.kstats import consensus_k_stats
 from cnmf_tpu.pipeline.solvers import (
     beta_loss_to_float,
@@ -480,17 +480,20 @@ class cNMF:
         # overwrite them (and before the shutil.copy tpm branch bypasses the
         # writer queue)
         self.flush_writes()
-        input_counts = load_counts(counts_fn, densify=densify)
+        with stage_timer("prepare.load_counts"):
+            input_counts = load_counts(counts_fn, densify=densify)
         if sp.issparse(input_counts.X) and densify:
             input_counts.X = np.asarray(input_counts.X.todense())
 
         if tpm_fn is None:
-            tpm = AnnData(
-                normalize_total(input_counts.X, target_sum=1e6),
-                obs=input_counts.obs.copy(),
-                var=input_counts.var.copy(),
-            )
-            self._write_prepare_h5ad(self.paths["tpm"], tpm)
+            with stage_timer("prepare.tpm"):
+                tpm = AnnData(
+                    normalize_total(input_counts.X, target_sum=1e6),
+                    obs=input_counts.obs.copy(),
+                    var=input_counts.var.copy(),
+                )
+            with stage_timer("prepare.write_tpm"):
+                self._write_prepare_h5ad(self.paths["tpm"], tpm)
         elif tpm_fn.endswith(".h5ad"):
             shutil.copy(tpm_fn, self.paths["tpm"])
             tpm = read_h5ad(self.paths["tpm"])
@@ -512,12 +515,14 @@ class cNMF:
         else:
             highvargenes = None
 
-        norm_counts = self.get_norm_counts(
-            input_counts, tpm,
-            num_highvar_genes=num_highvar_genes,
-            high_variance_genes_filter=highvargenes,
-        )
-        self.save_norm_counts(norm_counts)
+        with stage_timer("prepare.norm_counts"):
+            norm_counts = self.get_norm_counts(
+                input_counts, tpm,
+                num_highvar_genes=num_highvar_genes,
+                high_variance_genes_filter=highvargenes,
+            )
+        with stage_timer("prepare.write_norm_counts"):
+            self.save_norm_counts(norm_counts)
 
         (replicate_params, run_params) = self.get_nmf_iter_params(
             ks=components, n_iter=n_iter, random_state_seed=seed,

@@ -76,9 +76,11 @@ def test_load_counts_txt_and_npz(tmp_path):
     )
     txt = str(tmp_path / "counts.txt")
     df.to_csv(txt, sep="\t")
+    # DataFrame-sourced inputs stay dense (reference keeps them dense;
+    # cnmf.py:383-402 — --densify only converts sparse the other way)
     adata = load_counts(txt)
-    assert sp.issparse(adata.X)
-    np.testing.assert_allclose(adata.X.toarray(), df.values)
+    assert not sp.issparse(adata.X)
+    np.testing.assert_allclose(adata.X, df.values)
 
     npz = str(tmp_path / "counts.df.npz")
     save_df_to_npz(df, npz)

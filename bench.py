@@ -106,6 +106,20 @@ def _relay_probe():
     return time.perf_counter() - t0
 
 
+def _host_probe():
+    """Allocate-and-touch 64 MB; seconds. The shared host's memory subsystem
+    degrades >20x between windows (prepare on identical inputs measured
+    1.6 s and 145 s the same hour) — a healthy window touches fresh pages
+    at 2-4.5 GB/s (~0.03 s), a degraded one at tens of MB/s (seconds).
+    Reported so inflated host-side stages (prepare/combine/writes) are
+    attributable to the environment, mirroring relay_probe_s for the link."""
+    t0 = time.perf_counter()
+    buf = np.empty(64 * 1024 * 1024 // 8, dtype=np.float64)
+    buf[:] = 1.0
+    del buf
+    return time.perf_counter() - t0
+
+
 class ProgramCounter:
     """Counts XLA program activity via jax monitoring events: cache
     requests/hits/misses plus backend-compile and cached-load walls. The
@@ -322,7 +336,9 @@ def main():
         float(jnp.zeros(()))
         t_link = time.perf_counter() - t0
         probe = _relay_probe()
-        log(f"[bench] device warmup: {t_link:.2f}s, relay probe: {probe:.3f}s")
+        host_probe = _host_probe()
+        log(f"[bench] device warmup: {t_link:.2f}s, relay probe: {probe:.3f}s, "
+            f"host probe: {host_probe:.3f}s")
 
         c0 = counter.snapshot()
         runs = [_run_once(workdir, "bench_r1", counts_fn, ks, n_iter, hvg, k_cons)]
@@ -375,6 +391,9 @@ def main():
         baseline_s = 2.0 * n_runs  # reference ≈2 s/run on CPU (BASELINE.md)
         if probe > 1.0:
             congested = True
+        # 64 MB of fresh pages slower than ~128 MB/s = degraded host window
+        if host_probe > 0.5:
+            congested = True
         kl_out = None
         if kl and kl.get("mu_flops"):
             kl_out = {
@@ -398,9 +417,12 @@ def main():
             ),
             "runs": [round(r["total"], 2) for r in runs],
             "relay_probe_s": round(probe, 3),
+            "host_probe_s": round(host_probe, 3),
             "congested": congested,
             "stages": {
-                "prepare": round(best["prepare"], 2),
+                # prepare sits outside `value`; report the best draw like
+                # the measured region does (host windows swing it >20x)
+                "prepare": round(min(r["prepare"] for r in runs), 2),
                 "link_setup": round(t_link, 2),
                 "factorize": round(best["factorize"], 2),
                 "combine": round(best["combine"], 2),

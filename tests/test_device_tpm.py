@@ -1,0 +1,104 @@
+"""Compact TPM upload (ops/device_tpm): integer-counts stash + on-device
+row scaling must reproduce the host TPM within float32 double-rounding, and
+the prepare-time stash must key the device cache to the exact object a
+same-process read-back returns."""
+
+import numpy as np
+import pandas as pd
+import scipy.sparse as sp
+
+from cnmf_tpu import cNMF
+from cnmf_tpu.io.dataframe import save_df_to_npz
+from cnmf_tpu.ops.device_tpm import (
+    compact_integer_counts,
+    device_tpm_from_counts,
+    tpm_row_scale,
+)
+from cnmf_tpu.ops.normalize import normalize_total
+
+
+def test_compact_dtype_selection():
+    rng = np.random.RandomState(0)
+    small = rng.randint(0, 200, size=(30, 40)).astype(np.float64)
+    ints = compact_integer_counts(small)
+    assert ints is not None and ints.dtype == np.uint8
+    np.testing.assert_array_equal(ints, small)
+
+    mid = rng.randint(0, 30000, size=(30, 40)).astype(np.float64)
+    mid[0, 0] = 300  # above uint8
+    mid[1, 1] = 30000
+    ints = compact_integer_counts(mid)
+    assert ints is not None and ints.dtype == np.int16
+    np.testing.assert_array_equal(ints, mid)
+
+
+def test_compact_rejects_unsuitable_inputs():
+    rng = np.random.RandomState(1)
+    base = rng.randint(0, 100, size=(10, 12)).astype(np.float64)
+    frac = base.copy()
+    frac[2, 3] = 1.5
+    assert compact_integer_counts(frac) is None  # non-integral
+    neg = base.copy()
+    neg[0, 0] = -1
+    assert compact_integer_counts(neg) is None  # negative
+    wide = base.copy()
+    wide[0, 0] = 40000
+    assert compact_integer_counts(wide) is None  # exceeds int16
+    assert compact_integer_counts(sp.csr_matrix(base)) is None  # sparse
+    nan = base.copy()
+    nan[0, 0] = np.nan
+    assert compact_integer_counts(nan) is None
+
+
+def test_device_tpm_matches_host_product():
+    rng = np.random.RandomState(2)
+    X = rng.poisson(3.0, size=(50, 80)).astype(np.float64)
+    X[7] = 0  # zero-sum cell: safe-denominator path
+    host = normalize_total(X, target_sum=1e6).astype(np.float32)
+    ints = compact_integer_counts(X)
+    scale = tpm_row_scale(X).astype(np.float32)
+    dev = np.asarray(device_tpm_from_counts(ints, scale))
+    assert dev.dtype == np.float32
+    # both sides round the true product to f32; the device side also rounds
+    # the scale — equal to <= 2 ulp
+    np.testing.assert_allclose(dev, host, rtol=3e-7, atol=0.0)
+    assert (dev[7] == 0).all()
+
+
+def _dense_prepared(tmp_path, name):
+    rng = np.random.RandomState(3)
+    X = rng.poisson(2.0, size=(90, 150)).astype(np.float64)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(
+        X,
+        index=[f"c{i}" for i in range(X.shape[0])],
+        columns=[f"g{j}" for j in range(X.shape[1])],
+    )
+    counts_fn = str(tmp_path / "counts.df.npz")
+    save_df_to_npz(df, counts_fn)
+    obj = cNMF(output_dir=str(tmp_path), name=name)
+    obj.prepare(counts_fn=counts_fn, components=[4], n_iter=4, seed=14,
+                num_highvar_genes=60)
+    return obj
+
+
+def test_prepare_stashes_compact_tpm_keyed_to_readback(tmp_path):
+    obj = _dense_prepared(tmp_path, "stash_on")
+    stash = getattr(obj, "_tpm_compact", None)
+    assert stash is not None, "dense integer counts should stash"
+    ref, ints, scale = stash
+    assert ints.dtype == np.uint8 and scale.dtype == obj.compute_dtype
+    # the stash key IS the object a same-process read-back returns, so the
+    # device cache populated from it hits in consensus
+    tpm = obj._read_h5ad_cached(obj.paths["tpm"])
+    assert ref() is tpm
+    # the derived device buffer matches the float upload consensus would do
+    dev = np.asarray(device_tpm_from_counts(ints, scale))
+    host = np.asarray(tpm.X, dtype=np.float64)
+    np.testing.assert_allclose(dev, host, rtol=3e-7, atol=1e-12)
+
+
+def test_stash_disabled_by_knob(tmp_path, monkeypatch):
+    monkeypatch.setenv("CNMF_TPU_DEVICE_TPM", "0")
+    obj = _dense_prepared(tmp_path, "stash_off")
+    assert getattr(obj, "_tpm_compact", None) is None

@@ -925,7 +925,21 @@ class cNMF:
         )
 
         pending = []
+        deferred_writes = []  # (k, write futures, batch, gene_index)
         with ThreadPoolExecutor(max_workers=8) as pool:
+
+            def _settle_writes():
+                # join the in-flight per-iteration writes and memoize each
+                # K's stack (write-time stats validate the memo); runs inside
+                # the pool's lifetime on EVERY exit path
+                while deferred_writes:
+                    k_, futs, batch, gidx = deferred_writes.pop(0)
+                    _tw = _time.perf_counter()
+                    stats = [f.result() for f in futs]
+                    self._memo_spectra_stack(k_, stats, batch, gidx)
+                    if phases is not None:
+                        with self._phases_lock:
+                            phases["write_s"] += _time.perf_counter() - _tw
 
             def drain(k, iters, handles):
                 # handles are (B_chunk, pad_k, G) — transposed ON DEVICE and
@@ -980,6 +994,24 @@ class cNMF:
                     self._memo_artifact(path, spectra, spectra.values.nbytes, stat=st)
                     return int(it), path, st
 
+                if pipeline_all:
+                    # submit-and-move-on: the npz writes ride the pool while
+                    # the main thread waits on the NEXT K's solve/fetch (GIL
+                    # released in the transfer wait) — only the tail of the
+                    # LAST K's writes lands on the factorize critical path
+                    # (settled in the finally below; files are durable before
+                    # factorize returns, no semantic change)
+                    futs = [
+                        pool.submit(write_one, (i, it))
+                        for i, it in enumerate(iters)
+                    ]
+                    deferred_writes.append(
+                        (k, futs, spectra_batch, gene_index)
+                    )
+                    if phases is not None:
+                        with self._phases_lock:
+                            phases["write_s"] += _time.perf_counter() - _t2
+                    return
                 stats = list(pool.map(write_one, enumerate(iters)))
                 self._memo_spectra_stack(k, stats, spectra_batch, gene_index)
                 if phases is not None:
@@ -1042,6 +1074,7 @@ class cNMF:
                     # result_bytes counted once inside drain (spec is
                     # already host-resident, so drain's asarray is free)
                     drain(k, g["iter"].values, [spec])
+                _settle_writes()
                 return
 
             # --- merged-grid path (OPT-IN, CNMF_TPU_GRID=1): all restarts
@@ -1139,6 +1172,7 @@ class cNMF:
                     drain_threads.append(t)
                 for t in drain_threads:
                     t.join()
+                _settle_writes()
                 return
 
             for k, group in sub.groupby("n_components", sort=True):
@@ -1163,6 +1197,7 @@ class cNMF:
 
             for k, iters, handles in pending:
                 drain(k, iters, handles)
+            _settle_writes()
 
     @staticmethod
     def _x_mean_for_init(X_host, dtype):

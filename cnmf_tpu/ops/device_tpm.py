@@ -86,3 +86,34 @@ def device_tpm_from_counts(ints: np.ndarray, scale: np.ndarray):
     """Upload the compact integer counts + per-cell scale and expand to the
     dense float TPM on device. ``scale``'s dtype is the output dtype."""
     return tpm_from_counts(jnp.asarray(ints), jnp.asarray(scale))
+
+
+def norm_column_spec(counts_var_index, hvg_index, ints, dtype):
+    """(cols int32, std) mapping the HVG subset into the integer counts for
+    ``norm_from_counts``, or None when the gene names don't map uniquely or
+    the per-gene std is degenerate.
+
+    ``std`` replicates the dense branch of ``ops.normalize
+    .scale_unit_variance`` (ddof=1, NO zero guard — reference cnmf.py:542
+    divides unguarded) over the float64 cast of the SUBSET counts — the
+    exact divisor prepare's norm_counts used, since the integer image equals
+    the counts bit-for-bit."""
+    if not counts_var_index.is_unique:
+        return None
+    cols = counts_var_index.get_indexer(hvg_index)
+    if (cols < 0).any():
+        return None
+    cols = cols.astype(np.int32)
+    std = ints[:, cols].astype(np.float64).std(axis=0, ddof=1)
+    if not np.isfinite(std).all() or (std == 0).any():
+        return None  # degenerate genes: keep the exact float path
+    return cols, std.astype(dtype)
+
+
+@jax.jit
+def norm_from_counts(ints, cols, std):
+    """Factorize input (unit-variance-scaled HVG counts) from the integer
+    counts on device: gather the HVG columns, cast to ``std.dtype``, divide
+    by the per-gene std. vs the host float64 pipeline both sides round the
+    true quotient to f32 — equal to <=2 ulp."""
+    return ints[:, cols].astype(std.dtype) / std[None, :]

@@ -179,7 +179,8 @@ class cNMF:
         """Drop cached device buffers (norm counts / TPM) and cached h5ad
         objects — frees HBM between pipeline stages."""
         self._join_tpm_prefetch()  # an in-flight upload would repopulate
-        for attr in ("_norm_counts_dev_cache", "_tpm_dev_cache", "_h5ad_cache"):
+        for attr in ("_norm_counts_dev_cache", "_tpm_dev_cache", "_h5ad_cache",
+                     "_ints_dev"):
             if hasattr(self, attr):
                 delattr(self, attr)
 
@@ -380,6 +381,28 @@ class cNMF:
         scale = tpm_row_scale(counts_X).astype(self.compute_dtype)
         self._tpm_compact = (weakref.ref(tpm_adata), ints, scale)
 
+    def _stash_norm_compact(self, norm_adata, counts_var_index):
+        """Keep (cols, std) so a same-process factorize can DERIVE its input
+        matrix on device from the integer counts already stashed for the TPM
+        (ops/device_tpm.norm_from_counts) — the whole pipeline's host→device
+        traffic then is one integer upload. Requires the TPM stash (same
+        integer image) and uniquely-mapping gene names; degenerate (zero/
+        non-finite std) genes fall back to the exact float upload.
+        ``CNMF_TPU_DEVICE_NORM`` gates use at factorize time."""
+        tstash = getattr(self, "_tpm_compact", None)
+        if tstash is None:
+            return
+        from cnmf_tpu.ops.device_tpm import norm_column_spec
+
+        ints = tstash[1]
+        spec = norm_column_spec(
+            counts_var_index, norm_adata.var.index, ints, self.compute_dtype
+        )
+        if spec is None:
+            return
+        cols, std = spec
+        self._norm_compact = (weakref.ref(norm_adata), ints, cols, std)
+
     def _prefetch_tpm_async(self):
         """Warm the consensus-stage device TPM cache while factorize owns the
         wall clock.
@@ -431,13 +454,22 @@ class cNMF:
                         and scale.dtype == self.compute_dtype
                         and derived_bytes < 0.5 * self._tpm_device_limit()
                     ):
-                        from cnmf_tpu.ops.device_tpm import (
-                            device_tpm_from_counts,
-                        )
+                        from cnmf_tpu.ops.device_tpm import tpm_from_counts
 
+                        # factorize may have ALREADY uploaded this integer
+                        # image to derive its own input (CNMF_TPU_DEVICE_NORM)
+                        # — reuse that device buffer: the TPM expansion then
+                        # moves ZERO bulk bytes over the link
+                        held = getattr(self, "_ints_dev", None)
+                        ints_dev = (
+                            held[1] if held is not None and held[0] is ints
+                            else jnp.asarray(ints)
+                        )
                         self._device_cached(
                             "_tpm_dev_cache", target,
-                            lambda: device_tpm_from_counts(ints, scale),
+                            lambda: tpm_from_counts(
+                                ints_dev, jnp.asarray(scale)
+                            ),
                         )
                         return
                 self._flush_pending_write(tpm_path)
@@ -535,6 +567,7 @@ class cNMF:
             input_counts.X = np.asarray(input_counts.X.todense())
 
         self._tpm_compact = None  # a prior run's stash must never leak
+        self._norm_compact = None
         if tpm_fn is None:
             with stage_timer("prepare.tpm"):
                 tpm = AnnData(
@@ -573,7 +606,8 @@ class cNMF:
                 high_variance_genes_filter=highvargenes,
             )
         with stage_timer("prepare.write_norm_counts"):
-            self.save_norm_counts(norm_counts)
+            seeded_norm = self.save_norm_counts(norm_counts)
+        self._stash_norm_compact(seeded_norm, input_counts.var.index)
 
         (replicate_params, run_params) = self.get_nmf_iter_params(
             ks=components, n_iter=n_iter, random_state_seed=seed,
@@ -709,7 +743,9 @@ class cNMF:
 
     def save_norm_counts(self, norm_counts: AnnData):
         self._initialize_dirs()
-        self._write_prepare_h5ad(self.paths["normalized_counts"], norm_counts)
+        return self._write_prepare_h5ad(
+            self.paths["normalized_counts"], norm_counts
+        )
 
     def get_nmf_iter_params(
         self, ks, n_iter=100, random_state_seed=None,
@@ -876,11 +912,41 @@ class cNMF:
             link_bytes = X.nnz * (self.compute_dtype.itemsize + 4)
         else:
             # threaded native CSR->dense with fused dtype cast (cnmf_tpu.native)
+            # (the host copy stays: init paths and the x-mean scalar read it)
             X = densify_csr(norm_counts.X, out_dtype=self.compute_dtype)
             X = np.ascontiguousarray(X)
-            Xd = jnp.asarray(X)
+            Xd = None
+            # derive the solver input ON DEVICE from the integer counts
+            # stashed by this process's prepare (ops/device_tpm): the upload
+            # shrinks to the uint8/int16 image — which the TPM prefetch then
+            # REUSES, so the whole pipeline ships ONE compact matrix.
+            # Values match the float upload to <=2 ulp; CNMF_TPU_DEVICE_NORM
+            # ('1' force / '0' off / unset = TPU backend only) gates it.
+            nstash = getattr(self, "_norm_compact", None)
+            _env_dn = os.environ.get("CNMF_TPU_DEVICE_NORM", "")
+            # (no device-count gate: the derived buffer has the same
+            # default-device placement as the jnp.asarray upload it replaces)
+            if (
+                nstash is not None
+                and (_env_dn == "1"
+                     or (_env_dn != "0" and jax.default_backend() == "tpu"))
+            ):
+                ref, ints, cols, std = nstash
+                if ref() is norm_counts and std.dtype == self.compute_dtype:
+                    from cnmf_tpu.ops.device_tpm import norm_from_counts
+
+                    ints_dev = jnp.asarray(ints)
+                    # the prefetch thread reads this AFTER factorize starts
+                    # it, so publish before _prefetch_tpm_async below
+                    self._ints_dev = (ints, ints_dev)
+                    Xd = norm_from_counts(
+                        ints_dev, jnp.asarray(cols), jnp.asarray(std)
+                    )
+                    link_bytes = ints.nbytes + cols.nbytes + std.nbytes
+            if Xd is None:
+                Xd = jnp.asarray(X)
+                link_bytes = X.nbytes
             dense_bytes = X.nbytes
-            link_bytes = X.nbytes
         if phases is not None:
             # force the upload to completion with a 4-byte dependent fetch
             # (block_until_ready does not force completion through the relay)

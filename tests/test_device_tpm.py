@@ -102,3 +102,74 @@ def test_stash_disabled_by_knob(tmp_path, monkeypatch):
     monkeypatch.setenv("CNMF_TPU_DEVICE_TPM", "0")
     obj = _dense_prepared(tmp_path, "stash_off")
     assert getattr(obj, "_tpm_compact", None) is None
+    # the norm stash rides the same integer image
+    assert getattr(obj, "_norm_compact", None) is None
+
+
+def test_norm_column_spec_and_device_derive():
+    from cnmf_tpu.ops.device_tpm import norm_column_spec, norm_from_counts
+
+    rng = np.random.RandomState(4)
+    X = rng.poisson(2.5, size=(60, 30)).astype(np.float64)
+    X[:, 5] += 1  # keep every candidate column non-constant
+    names = pd.Index([f"g{j}" for j in range(30)])
+    hvg = pd.Index(["g7", "g2", "g19"])
+    ints = compact_integer_counts(X)
+    spec = norm_column_spec(names, hvg, ints, np.dtype(np.float32))
+    assert spec is not None
+    cols, std = spec
+    np.testing.assert_array_equal(cols, [7, 2, 19])
+    # std replicates scale_unit_variance's dense divisor bit-for-bit (f64)
+    sub = X[:, [7, 2, 19]]
+    np.testing.assert_array_equal(
+        std, sub.std(axis=0, ddof=1).astype(np.float32)
+    )
+    dev = np.asarray(norm_from_counts(ints, cols, std))
+    host = (sub / sub.std(axis=0, ddof=1)).astype(np.float32)
+    np.testing.assert_allclose(dev, host, rtol=3e-7, atol=0.0)
+
+    # degenerate / unmappable inputs fall back
+    const = X.copy()
+    const[:, 2] = 3
+    ints_c = compact_integer_counts(const)
+    assert norm_column_spec(names, hvg, ints_c, np.dtype(np.float32)) is None
+    dup = pd.Index(["g0"] * 30)
+    assert norm_column_spec(dup, hvg, ints, np.dtype(np.float32)) is None
+    missing = pd.Index(["nope"])
+    assert norm_column_spec(names, missing, ints, np.dtype(np.float32)) is None
+
+
+def test_prepare_stashes_norm_spec_keyed_to_readback(tmp_path):
+    obj = _dense_prepared(tmp_path, "nstash")
+    nstash = getattr(obj, "_norm_compact", None)
+    assert nstash is not None
+    ref, ints, cols, std = nstash
+    nc = obj._read_h5ad_cached(obj.paths["normalized_counts"])
+    assert ref() is nc
+    from cnmf_tpu.ops.device_tpm import norm_from_counts
+
+    dev = np.asarray(norm_from_counts(ints, cols, std))
+    host = np.asarray(nc.X, dtype=np.float64)
+    np.testing.assert_allclose(dev, host, rtol=3e-7, atol=1e-12)
+
+
+def test_device_norm_pipeline_smoke(tmp_path, monkeypatch):
+    """Forced CNMF_TPU_DEVICE_NORM=1 on CPU: the full pipeline completes and
+    the consensus artifacts stay within the float32 input-perturbation
+    envelope of the exact path (iterative solves amplify the <=2 ulp input
+    difference, so this is a coarse equivalence, not bit parity)."""
+    from cnmf_tpu.io.dataframe import load_df_from_npz
+
+    outs = {}
+    for knob, name in (("0", "dn_off"), ("1", "dn_on")):
+        monkeypatch.setenv("CNMF_TPU_DEVICE_NORM", knob)
+        obj = _dense_prepared(tmp_path, name)
+        obj.factorize(verbose=False)
+        obj.combine()
+        obj.consensus(k=4, density_threshold=2.0, show_clustering=False)
+        outs[knob] = load_df_from_npz(
+            obj.paths["consensus_spectra"] % (4, "2_0")
+        ).values
+    num = ((outs["0"] - outs["1"]) ** 2).sum()
+    den = (outs["0"] ** 2).sum()
+    assert num / den < 1e-5, f"relative SSE {num/den:.2e}"

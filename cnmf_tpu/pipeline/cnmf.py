@@ -175,12 +175,19 @@ class cNMF:
             return device_densify_csr(Xm, out_dtype=self.compute_dtype)
         return self._put_cells(densify_csr(Xm, out_dtype=self.compute_dtype))
 
-    def clear_device_caches(self):
-        """Drop cached device buffers (norm counts / TPM) and cached h5ad
-        objects — frees HBM between pipeline stages."""
+    def clear_device_caches(self, host_caches: bool = False):
+        """Drop cached device buffers (norm counts / TPM / integer counts) —
+        frees HBM between pipeline stages. ``host_caches=True`` also drops
+        the h5ad read cache; by default it is KEPT: it lives in host memory,
+        every hit is mtime-validated (out-of-band rewrites always win), and
+        dropping it would both force factorize to re-read files this process
+        just wrote and break the object-identity keys of the compact-counts
+        stashes (ops/device_tpm)."""
         self._join_tpm_prefetch()  # an in-flight upload would repopulate
-        for attr in ("_norm_counts_dev_cache", "_tpm_dev_cache", "_h5ad_cache",
-                     "_ints_dev"):
+        attrs = ["_norm_counts_dev_cache", "_tpm_dev_cache", "_ints_dev"]
+        if host_caches:
+            attrs.append("_h5ad_cache")
+        for attr in attrs:
             if hasattr(self, attr):
                 delattr(self, attr)
 

@@ -165,6 +165,10 @@ def test_device_norm_pipeline_smoke(tmp_path, monkeypatch):
         monkeypatch.setenv("CNMF_TPU_DEVICE_NORM", knob)
         obj = _dense_prepared(tmp_path, name)
         obj.factorize(verbose=False)
+        # the derive path must actually run when forced (it once silently
+        # fell back because factorize dropped the h5ad cache, breaking the
+        # stash's object-identity key)
+        assert (getattr(obj, "_ints_dev", None) is not None) == (knob == "1")
         obj.combine()
         obj.consensus(k=4, density_threshold=2.0, show_clustering=False)
         outs[knob] = load_df_from_npz(

@@ -20,3 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compile cache (repo-local, gitignored, shared with bench.py):
+# the suite compiles ~100 distinct CPU programs; on a fresh machine that
+# dominates the first run's wall time (measured >580 s cold vs ~83 s warm on
+# this 1-vCPU host class). Entries are keyed by backend+config, so CPU test
+# entries and the bench's TPU entries coexist in one directory.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -29,8 +29,8 @@ from cnmf_tpu.ops.kmeans import _kmeans_plusplus, _lloyd_batched, _PAD_SENTINEL
 from cnmf_tpu.ops.kstats import _cluster_medians
 from cnmf_tpu.ops.nmf import (
     MATMUL_PRECISION,
-    _shared_x_dot,
     nmf_multiplicative_update,
+    nnls_cd_fixed_spectra,
     nnls_cd_from_products,
 )
 
@@ -39,20 +39,13 @@ def _nnls(X, Ht0, W0, *, solver, beta, tol, max_iter, l1_reg, l2_reg,
           mu_chunk, use_pallas):
     """Fixed-spectra NNLS usage refit on device arrays (batch of 1).
 
-    The CD branch runs from precomputed gram/products
-    (nnls_cd_from_products): with the spectra fixed, HHt and XHt are
-    loop-invariant, so the full solver's per-sweep O(M·G·K) contractions
-    collapse to one-time products + O(M·K²) half-sweeps — same sweeps, same
-    stopping, same factors."""
+    The CD branch runs the products-distilled refit
+    (ops.nmf.nnls_cd_fixed_spectra): with the spectra fixed the full
+    solver's per-sweep O(M·G·K) contractions collapse to one-time products
+    + O(M·K²) half-sweeps — same sweeps, same stopping, same factors."""
     if solver == "cd":
-        dtype = X.dtype
-        gram = jnp.einsum(
-            "bgk,bgl->bkl", Ht0, Ht0, preferred_element_type=dtype,
-            precision=MATMUL_PRECISION,
-        )
-        P = _shared_x_dot(X, Ht0)
-        W, _ = nnls_cd_from_products(
-            gram, P, W0, tol=tol, max_iter=max_iter,
+        W, _ = nnls_cd_fixed_spectra(
+            X, Ht0, W0, tol=tol, max_iter=max_iter,
             l1_reg=l1_reg, l2_reg=l2_reg,
         )
     else:

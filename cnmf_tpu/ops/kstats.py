@@ -26,11 +26,9 @@ import numpy as np
 
 from cnmf_tpu.ops.kmeans import _kmeans_plusplus, _lloyd_batched, _PAD_SENTINEL
 from cnmf_tpu.ops.nmf import (
-    MATMUL_PRECISION,
-    _shared_x_dot,
     nmf_coordinate_descent,
     nmf_multiplicative_update,
-    nnls_cd_from_products,
+    nnls_cd_fixed_spectra,
     reconstruction_sse,
 )
 from cnmf_tpu.ops.silhouette import _silhouette_padded
@@ -120,16 +118,10 @@ def _fused_k_stats(
                 use_pallas=True,
             )
         else:
-            # fixed spectra → loop-invariant products; the per-sweep
-            # O(N·G·K) contractions of the full solver collapse to one-time
-            # grams (exact same sweeps/factors, see nnls_cd_from_products)
-            gram = jnp.einsum(
-                "bgk,bgl->bkl", Ht0, Ht0,
-                preferred_element_type=Xnc.dtype, precision=MATMUL_PRECISION,
-            )
-            P = _shared_x_dot(Xnc, Ht0)
-            W, _ = nnls_cd_from_products(
-                gram, P, W0, tol=refit_tol, max_iter=refit_max_iter,
+            # fixed spectra → products-distilled refit (exact same
+            # sweeps/factors, see ops.nmf.nnls_cd_fixed_spectra)
+            W, _ = nnls_cd_fixed_spectra(
+                Xnc, Ht0, W0, tol=refit_tol, max_iter=refit_max_iter,
                 l1_reg=l1_reg_W, l2_reg=l2_reg_W,
             )
     else:

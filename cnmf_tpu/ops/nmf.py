@@ -240,6 +240,32 @@ def nnls_cd_from_products(
     return W, n_iter
 
 
+def nnls_cd_fixed_spectra(
+    X, Ht0, W0, *, tol=1e-4, max_iter=200, l1_reg=0.0, l2_reg=0.0,
+):
+    """Fixed-spectra CD NNLS on device arrays: the one definition of the
+    products-distilled refit. Builds the loop-invariant products
+    (``gram = HfixᵀHfix``, ``P = X·Hfix``) once and runs
+    nnls_cd_from_products — with the spectra fixed these never change across
+    sweeps, so the full solver's per-sweep O(M·G·K) contractions collapse to
+    one-time products + O(M·K²) half-sweeps with identical sweeps, stopping
+    and factors (pinned by test_nnls_from_products_matches_full_solver).
+
+    Shared by the batched solver's ``update_H=False`` path
+    (pipeline/solvers.py), the fused consensus refits
+    (ops/consensus_fused.py) and the k-stats program (ops/kstats.py);
+    traceable inside jit. Returns (W (B,M,K), n_iter (B,))."""
+    gram = jnp.einsum(
+        "bgk,bgl->bkl", Ht0, Ht0,
+        preferred_element_type=W0.dtype, precision=MATMUL_PRECISION,
+    )
+    P = _shared_x_dot(X, Ht0)
+    return nnls_cd_from_products(
+        gram, P, W0, tol=tol, max_iter=max_iter,
+        l1_reg=l1_reg, l2_reg=l2_reg,
+    )
+
+
 def _xla_half_sweeps(X, W, Ht, dtype, update_H,
                      l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H):
     """One full CD sweep (W half then H half) via shared-X flat matmuls.

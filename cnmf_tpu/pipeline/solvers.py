@@ -19,7 +19,6 @@ import numpy as np
 from cnmf_tpu.ops.init import nnls_w_init
 from cnmf_tpu.ops.nmf import (
     MATMUL_PRECISION,
-    _shared_x_dot,
     _ladder,
     nmf_cd_device_ladder,
     nmf_mu_device_ladder,
@@ -28,6 +27,7 @@ from cnmf_tpu.ops.nmf import (
     nmf_coordinate_descent,
     nmf_coordinate_descent_compacted,
     nmf_multiplicative_update,
+    nnls_cd_fixed_spectra,
     nnls_cd_from_products,
 )
 
@@ -131,20 +131,12 @@ def solve_nmf_batch(
         if beta != 2.0:
             raise ValueError("CD solver supports frobenius loss only")
         if not update_H:
-            # fixed-spectra refit: HHt and XHt never change across sweeps, so
-            # compute them once and run the distilled half-sweep loop — same
-            # sweeps, same stopping, same factors (pinned by
-            # test_nnls_from_products_matches_full_solver), at O(M·K²) per
-            # sweep instead of O(M·G·K)
+            # fixed-spectra refit → products-distilled half-sweep loop
+            # (see ops.nmf.nnls_cd_fixed_spectra)
             W0 = jnp.asarray(W0)
             Ht0 = jnp.asarray(Ht0)
-            gram = jnp.einsum(
-                "bgk,bgl->bkl", Ht0, Ht0,
-                preferred_element_type=W0.dtype, precision=MATMUL_PRECISION,
-            )
-            P = _shared_x_dot(X, Ht0)
-            W, n_iter = nnls_cd_from_products(
-                gram, P, W0, tol=tol, max_iter=max_iter,
+            W, n_iter = nnls_cd_fixed_spectra(
+                X, Ht0, W0, tol=tol, max_iter=max_iter,
                 l1_reg=l1_reg_W, l2_reg=l2_reg_W,
             )
             return W, Ht0, n_iter

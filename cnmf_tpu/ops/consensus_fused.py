@@ -29,6 +29,8 @@ from cnmf_tpu.ops.kmeans import _kmeans_plusplus, _lloyd_batched, _PAD_SENTINEL
 from cnmf_tpu.ops.kstats import _cluster_medians
 from cnmf_tpu.ops.nmf import (
     MATMUL_PRECISION,
+    fixed_factor_gram,
+    fixed_factor_product_transposed,
     nmf_multiplicative_update,
     nnls_cd_fixed_spectra,
     nnls_cd_from_products,
@@ -200,16 +202,8 @@ def _fused_consensus(
         # atlas config the materialized transpose alone is 8 GB and OOMs the
         # chip alongside the resident TPM)
         Wt0 = jnp.zeros((1, Gall, Kp), dtype)
-        gram_u = jnp.einsum(
-            "bnk,bnl->bkl", usages_t, usages_t,
-            preferred_element_type=dtype, precision=MATMUL_PRECISION,
-        )
-        # (Kp, Gall) product then transpose the SMALL result — an
-        # 'ng,nk->gk' einsum invites XLA to transpose the huge lhs instead
-        P_t = jnp.transpose(jnp.dot(
-            usages_t[0].T, tpm,
-            preferred_element_type=dtype, precision=MATMUL_PRECISION,
-        ))[None]
+        gram_u = fixed_factor_gram(usages_t)
+        P_t = fixed_factor_product_transposed(usages_t, tpm)
         spectra_tpm, _ = nnls_cd_from_products(
             gram_u, P_t, Wt0, tol=tol, max_iter=max_iter,
             l1_reg=l1_t, l2_reg=l2_t,

@@ -74,16 +74,24 @@ def random_init_batch_device(
 
     Returns device arrays W0 (B, N, pad_k), Ht0 (B, G, pad_k) with
     components beyond ``n_components`` zeroed (the exact-no-op K bucketing).
+
+    The true component count enters only as TRACED operands — the
+    ``avg`` scale and a zeroing column mask — so every K sharing a pad
+    bucket reuses ONE compiled program. The noise program was measured as
+    THE factorize cold-start wall through axon's remote compiler: 9
+    per-K compiles × 7-13 s ≈ 82 s of the round-3 111 s compile total,
+    vs 2 per-bucket compiles after this change.
     """
     import jax.numpy as jnp
 
     pad_k = pad_k or n_components
     avg = np.dtype(dtype).type(np.sqrt(x_mean / n_components))
+    kmask = (np.arange(pad_k) < n_components).astype(dtype)
 
     seeds = jnp.asarray(np.asarray(seeds, dtype=np.uint32))
     return _gen_device_init(
-        seeds, jnp.asarray(avg, dtype=dtype),
-        n=n_samples, g=n_features, k=n_components, pad_k=pad_k,
+        seeds, jnp.asarray(avg, dtype=dtype), jnp.asarray(kmask),
+        n=n_samples, g=n_features, pad_k=pad_k,
         dt=jnp.dtype(dtype),
     )
 
@@ -95,20 +103,19 @@ def _gen_device_init_jit():
     import jax
 
     @functools.partial(
-        jax.jit, static_argnames=("n", "g", "k", "pad_k", "dt")
+        jax.jit, static_argnames=("n", "g", "pad_k", "dt")
     )
-    def gen(seed_arr, avg_arr, *, n, g, k, pad_k, dt):
+    def gen(seed_arr, avg_arr, kmask, *, n, g, pad_k, dt):
         import jax.numpy as jnp
 
         def one(seed):
             key = jax.random.PRNGKey(seed)
             kh, kw = jax.random.split(key)
-            Ht = jnp.abs(avg_arr * jax.random.normal(kh, (g, k), dtype=dt))
-            W = jnp.abs(avg_arr * jax.random.normal(kw, (n, k), dtype=dt))
-            if pad_k > k:
-                W = jnp.pad(W, ((0, 0), (0, pad_k - k)))
-                Ht = jnp.pad(Ht, ((0, 0), (0, pad_k - k)))
-            return W, Ht
+            # draw at the bucket width and zero the pad columns with the
+            # traced mask (0·|noise| is exact) — K stays out of the shapes
+            Ht = jnp.abs(avg_arr * jax.random.normal(kh, (g, pad_k), dtype=dt))
+            W = jnp.abs(avg_arr * jax.random.normal(kw, (n, pad_k), dtype=dt))
+            return W * kmask, Ht * kmask
 
         return jax.vmap(one)(seed_arr)
 

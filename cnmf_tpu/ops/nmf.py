@@ -240,6 +240,33 @@ def nnls_cd_from_products(
     return W, n_iter
 
 
+def fixed_factor_gram(F):
+    """Gram of a fixed factor: F (B, M, K) → (B, K, K).
+
+    The one definition of the fixed-factor gram shared by every
+    products-distilled refit (nnls_cd_fixed_spectra, the sparse-X and
+    transpose-trick refits in pipeline/solvers.py, and the fused consensus
+    TPM-spectra step)."""
+    return jnp.einsum(
+        "bmk,bml->bkl", F, F,
+        preferred_element_type=F.dtype, precision=MATMUL_PRECISION,
+    )
+
+
+def fixed_factor_product_transposed(F, X):
+    """P = Xᵀ·F without materializing Xᵀ: computes the SMALL (K, G) product
+    Fᵀ·X and transposes that instead — an 'mg,mk->gk' einsum invites XLA to
+    transpose the huge lhs in HBM (8 GB at the 100k×20k atlas config).
+
+    F: (M, K) or (1, M, K) fixed factor; X: (M, G) device matrix sharing
+    F's leading axis. Returns (1, G, K) — the transpose-trick data product
+    for nnls_cd_from_products (reference cnmf.py:805-820, 948-955)."""
+    F2 = F[0] if F.ndim == 3 else F
+    return jnp.transpose(jnp.dot(
+        F2.T, X, preferred_element_type=F2.dtype, precision=MATMUL_PRECISION,
+    ))[None]
+
+
 def nnls_cd_fixed_spectra(
     X, Ht0, W0, *, tol=1e-4, max_iter=200, l1_reg=0.0, l2_reg=0.0,
 ):
@@ -255,15 +282,32 @@ def nnls_cd_fixed_spectra(
     (pipeline/solvers.py), the fused consensus refits
     (ops/consensus_fused.py) and the k-stats program (ops/kstats.py);
     traceable inside jit. Returns (W (B,M,K), n_iter (B,))."""
-    gram = jnp.einsum(
-        "bgk,bgl->bkl", Ht0, Ht0,
-        preferred_element_type=W0.dtype, precision=MATMUL_PRECISION,
-    )
+    gram = fixed_factor_gram(Ht0)
     P = _shared_x_dot(X, Ht0)
     return nnls_cd_from_products(
         gram, P, W0, tol=tol, max_iter=max_iter,
         l1_reg=l1_reg, l2_reg=l2_reg,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("ks",))
+def pack_spectra_true_k(handles, *, ks):
+    """Concatenate the true-K rows of a pad bucket's spectra batches into
+    ONE (Σ B·k, G) buffer on device.
+
+    ``handles``: tuple of (B, pad_k, G) fetch-layout spectra (one per K in
+    the bucket); ``ks``: matching tuple of true component counts. The padded
+    component rows are exact zeros the host would slice off anyway — ~28% of
+    result bytes at the K=5..13 grid — and per-K slice dispatches each cost
+    a fresh XLA program cold (8 compiles ≈ 6.5 s through axon's remote
+    compiler) plus a d→h round trip on the relay's single ordered channel.
+    One pack per bucket = one compile, one transfer. The host splits the
+    packed buffer back per K with zero-copy reshapes."""
+    parts = [
+        h[:, :k, :].reshape(h.shape[0] * k, h.shape[2])
+        for h, k in zip(handles, ks)
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _xla_half_sweeps(X, W, Ht, dtype, update_H,

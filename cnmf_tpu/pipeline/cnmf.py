@@ -49,6 +49,7 @@ from cnmf_tpu.ops.init import (
     random_init_batch_device,
 )
 from cnmf_tpu.ops.kmeans import kmeans_fit
+from cnmf_tpu.ops.nmf import pack_spectra_true_k
 from cnmf_tpu.ops.normalize import normalize_total, scale_unit_variance
 from cnmf_tpu.ops.ols import efficient_ols_all_cols
 from cnmf_tpu.ops.stats import get_highvar_genes, mean_var
@@ -1050,6 +1051,12 @@ class cNMF:
                             int(np.prod(a.shape)) * a.itemsize for a in arrs
                         )
 
+                _submit_writes(k, iters, spectra_batch)
+                if phases is not None:
+                    with self._phases_lock:
+                        phases["write_s"] += _time.perf_counter() - _t2
+
+            def _submit_writes(k, iters, spectra_batch):
                 def write_one(args, k=k, spectra_batch=spectra_batch):
                     i, it = args
                     # stored at the solver's dtype: an f64 upcast would add
@@ -1081,15 +1088,39 @@ class cNMF:
                     deferred_writes.append(
                         (k, futs, spectra_batch, gene_index)
                     )
-                    if phases is not None:
-                        with self._phases_lock:
-                            phases["write_s"] += _time.perf_counter() - _t2
-                    return
-                stats = list(pool.map(write_one, enumerate(iters)))
-                self._memo_spectra_stack(k, stats, spectra_batch, gene_index)
+                else:
+                    stats = list(pool.map(write_one, enumerate(iters)))
+                    self._memo_spectra_stack(k, stats, spectra_batch, gene_index)
+
+            def drain_packed(entries, packed):
+                # one packed (Σ B·k, G) buffer per pad bucket
+                # (ops.nmf.pack_spectra_true_k) — one transfer, split back
+                # per K by zero-copy reshape (no padded rows to slice off,
+                # so no ownership copy is needed either)
+                _t1 = None
+                if phases is not None:
+                    _t0 = _time.perf_counter()
+                    if isinstance(packed, jax.Array):
+                        float(jnp.sum(packed[0, :1]))
+                    _t1 = _time.perf_counter()
+                    with self._phases_lock:
+                        phases["solve_wait_s"] += _t1 - _t0
+                arr = np.asarray(packed)
+                if phases is not None:
+                    _t2 = _time.perf_counter()
+                    with self._phases_lock:
+                        phases["result_fetch_s"] += _t2 - _t1
+                        phases["result_bytes"] += arr.nbytes
+                _tw = _time.perf_counter()
+                G = arr.shape[1]
+                off = 0
+                for k, iters in entries:
+                    B = len(iters)
+                    _submit_writes(k, iters, arr[off:off + B * k].reshape(B, k, G))
+                    off += B * k
                 if phases is not None:
                     with self._phases_lock:
-                        phases["write_s"] += _time.perf_counter() - _t2
+                        phases["write_s"] += _time.perf_counter() - _tw
 
             # --- staged path (CNMF_TPU_STAGED): phase 1 = the per-K batched
             # dispatches below (natural early exit per K), then the
@@ -1248,28 +1279,67 @@ class cNMF:
                 _settle_writes()
                 return
 
+            # Pack each pad bucket's true-K results into ONE device buffer
+            # and ONE d→h transfer (pack_spectra_true_k): the per-K slice
+            # dispatches were 8 distinct cold XLA compiles (~6.5 s through
+            # axon's remote compiler) and 9 transfer round trips on the
+            # relay's single ordered channel; packed it is one compile +
+            # one transfer per bucket. Mesh/chunked paths keep the per-K
+            # slice-and-drain.
+            pack_ok = (
+                pipeline_all
+                and restart_chunk is None
+                and not (use_mesh and len(jax.devices()) > 1)
+            )
+            buckets = {}
             for k, group in sub.groupby("n_components", sort=True):
                 k = int(k)
-                pad_k = -(-k // 8) * 8
-                seeds = group["nmf_seed"].values
-                iters = group["iter"].values
-                if verbose:
-                    print(
-                        "[Worker %d] factorizing k=%d: %d restarts as one device batch"
-                        % (worker_i, k, len(seeds))
+                buckets.setdefault(-(-k // 8) * 8, []).append((k, group))
+            for pad_k, entries in sorted(buckets.items()):
+                handles_k = []
+                for k, group in entries:
+                    seeds = group["nmf_seed"].values
+                    if verbose:
+                        print(
+                            "[Worker %d] factorizing k=%d: %d restarts as one device batch"
+                            % (worker_i, k, len(seeds))
+                        )
+                    handles = self._factorize_one_k(
+                        Xd, X, k, seeds, _nmf_kwargs, pad_k=pad_k,
+                        restart_chunk=restart_chunk, use_mesh=use_mesh,
+                        fetch=False, slice_k=not pack_ok,
                     )
-                handles = self._factorize_one_k(
-                    Xd, X, k, seeds, _nmf_kwargs, pad_k=pad_k,
-                    restart_chunk=restart_chunk, use_mesh=use_mesh,
-                    fetch=False,
+                    handles_k.append((k, group["iter"].values, handles))
+                packable = pack_ok and all(
+                    len(hs) == 1 and isinstance(hs[0], jax.Array)
+                    for _, _, hs in handles_k
                 )
-                if pipeline_all:
-                    pending.append((k, iters, handles))
+                if packable:
+                    packed = pack_spectra_true_k(
+                        tuple(hs[0] for _, _, hs in handles_k),
+                        ks=tuple(k for k, _, _ in handles_k),
+                    )
+                    try:
+                        # start the bucket's bytes moving NOW — the transfer
+                        # rides the relay while the next bucket solves
+                        packed.copy_to_host_async()
+                    except Exception:
+                        pass
+                    pending.append(
+                        ([(k, iters) for k, iters, _ in handles_k], packed)
+                    )
                 else:
-                    drain(k, iters, handles)
+                    for k, iters, handles in handles_k:
+                        if pipeline_all:
+                            pending.append((k, iters, handles))
+                        else:
+                            drain(k, iters, handles)
 
-            for k, iters, handles in pending:
-                drain(k, iters, handles)
+            for item in pending:
+                if len(item) == 2:
+                    drain_packed(*item)
+                else:
+                    drain(*item)
             _settle_writes()
 
     @staticmethod
@@ -1311,7 +1381,7 @@ class cNMF:
 
     def _factorize_one_k(
         self, Xd, X_host, k, seeds, nmf_kwargs, pad_k=None,
-        restart_chunk=None, use_mesh=True, fetch=True,
+        restart_chunk=None, use_mesh=True, fetch=True, slice_k=True,
     ):
         """All restarts for one K: init on host (sklearn-RNG-compatible),
         solve batched on device. Returns spectra (B, k, G), or — with
@@ -1320,7 +1390,10 @@ class cNMF:
         subsequent host work with the device solve and the result transfer.
 
         ``pad_k``: zero-pad the component axis to this width so different K
-        values reuse one compiled program (exact no-op, see factorize())."""
+        values reuse one compiled program (exact no-op, see factorize()).
+        ``slice_k=False`` (with ``fetch=False``): skip the per-K true-k
+        device slice and the async host copy — the caller packs the whole
+        pad bucket into one transfer (ops.nmf.pack_spectra_true_k)."""
         import time as _time
 
         trace = os.environ.get("CNMF_TPU_TIMINGS", "0") == "1"
@@ -1428,7 +1501,12 @@ class cNMF:
             # they are exact zeros (zero-padded init is a no-op for both
             # solvers) that the host drain slices off anyway, and K=5..13
             # on pad buckets 8/16 makes them ~28% of the result bytes —
-            # real seconds through the relay's ~9-90 MB/s d→h drain
+            # real seconds through the relay's ~9-90 MB/s d→h drain.
+            # (slice_k=False callers pack the whole bucket instead: one
+            # compile + one transfer per bucket, see factorize())
+            if not slice_k and not fetch and chunk >= B:
+                out.append(Hs)
+                continue
             if isinstance(Hs, jax.Array) and k < Hs.shape[1]:
                 Hs = Hs[:, :k, :]
             if isinstance(Hs, jax.Array) and not fetch and chunk >= B:

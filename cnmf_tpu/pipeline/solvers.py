@@ -20,6 +20,8 @@ from cnmf_tpu.ops.init import nnls_w_init
 from cnmf_tpu.ops.nmf import (
     MATMUL_PRECISION,
     _ladder,
+    fixed_factor_gram,
+    fixed_factor_product_transposed,
     nmf_cd_device_ladder,
     nmf_mu_device_ladder,
     nmf_cd_grid,
@@ -429,10 +431,7 @@ def refit_spectra_transposed(X, usages, nmf_kwargs, dtype=np.float32,
         (X.shape[1], int(n_cells) if n_cells is not None else X.shape[0]),
     )
     Ud = jnp.asarray(U)
-    gram = jnp.einsum(
-        "nk,nl->kl", Ud, Ud, preferred_element_type=Ud.dtype,
-        precision=MATMUL_PRECISION,
-    )[None]
+    gram = fixed_factor_gram(Ud[None])
     if sp.issparse(X):
         # host SpMM: XᵀU in O(nnz·k) — the full-gene TPM never goes dense
         # anywhere, on host or device
@@ -445,12 +444,7 @@ def refit_spectra_transposed(X, usages, nmf_kwargs, dtype=np.float32,
             Xd = X.astype(dtype) if X.dtype != dtype else X
         else:
             Xd = jnp.asarray(np.ascontiguousarray(X, dtype=dtype))
-        # (k, G) product then transpose the SMALL result — an 'ng,nk->gk'
-        # einsum invites XLA to transpose the huge lhs instead
-        P = jnp.transpose(jnp.dot(
-            Ud.T, Xd, preferred_element_type=Ud.dtype,
-            precision=MATMUL_PRECISION,
-        ))[None]
+        P = fixed_factor_product_transposed(Ud, Xd)
         n_out = Xd.shape[1]
     W0 = jnp.zeros((1, n_out, pad_k), dtype)
     W, _ = nnls_cd_from_products(
@@ -513,10 +507,7 @@ def refit_usages(
                 X.shape,
             )
             sp_d = jnp.asarray(spectra_p[None])
-            gram = jnp.einsum(
-                "bgk,bgl->bkl", sp_d, sp_d,
-                preferred_element_type=sp_d.dtype, precision=MATMUL_PRECISION,
-            )
+            gram = fixed_factor_gram(sp_d)
             P = jnp.asarray(
                 np.ascontiguousarray((X @ spectra_p), dtype=dtype)
             )[None]

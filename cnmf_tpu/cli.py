@@ -37,7 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="cnmf-tpu")
     parser.add_argument(
         "command", type=str,
-        choices=["prepare", "factorize", "combine", "consensus", "k_selection_plot"],
+        choices=["prepare", "factorize", "combine", "consensus",
+                 "k_selection_plot", "warmup"],
     )
     parser.add_argument("--name", type=str, nargs="?", default="cNMF",
                         help="[all] Name for analysis. All output will be placed in [output-dir]/[name]/...")
@@ -135,6 +136,12 @@ def main(argv=None):
             )
     elif args.command == "k_selection_plot":
         cnmf_obj.k_selection_plot(close_fig=True)
+    elif args.command == "warmup":
+        # AOT-compile the prepared run's device programs into the persistent
+        # compilation cache (set up by _setup_compile_cache above) so later
+        # factorize/consensus invocations — this process or fresh ones
+        # sharing the cache — skip the cold XLA compile wall entirely
+        cnmf_obj.warmup(components=args.components)
 
     # CNMF_TPU_ASYNC_WRITES=1: a stage's background artifact writes must be
     # durable — and any write failure must be raised, not swallowed at

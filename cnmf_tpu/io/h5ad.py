@@ -242,6 +242,15 @@ def read_h5ad_shape(filename: str) -> tuple:
         return tuple(int(s) for s in node.shape)
 
 
+def read_h5ad_x_is_sparse(filename: str) -> bool:
+    """Whether X is stored sparse (CSR/CSC group) — header-only, no data
+    read. Drives warmup's mirror of consensus' sparse-vs-dense behavior
+    forks (zero-std guarding follows the reference's per-input-kind split,
+    reference cnmf.py:537-544)."""
+    with h5py.File(filename, "r") as f:
+        return isinstance(f["X"], h5py.Group)
+
+
 def read_h5ad(filename: str) -> AnnData:
     with h5py.File(filename, "r") as f:
         X = _read_x(f["X"])

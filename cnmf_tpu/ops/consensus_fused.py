@@ -327,11 +327,13 @@ def fused_consensus(
 
     labels, median_n, rf, spectra_tpm, XtX, XtY, final_usages = \
         _fused_consensus(
-            Xnc, tpm, jnp.asarray(Xpad), jnp.asarray(c0),
-            jnp.asarray(scaled_tol, dtype=X.dtype),
-            jnp.asarray(R, jnp.int32), jnp.asarray(k, jnp.int32),
-            jnp.asarray(np.ascontiguousarray(tpm_std), dtype=Xnc.dtype),
-            jnp.asarray(np.ascontiguousarray(hvg_idx, dtype=np.int32)),
+            Xnc, tpm, Xpad, c0,
+            np.asarray(scaled_tol, dtype=X.dtype),
+            np.int32(R), np.int32(k),
+            # host-side casts: an eager jnp.asarray with a dtype change
+            # compiles its own convert_element_type program
+            np.ascontiguousarray(tpm_std, dtype=Xnc.dtype),
+            np.ascontiguousarray(hvg_idx, dtype=np.int32),
             n_cluster_pad=Kp, lloyd_max_iter=lloyd_max_iter,
             solver=solver, beta=float(beta), tol=float(tol),
             max_iter=int(max_iter), mu_chunk=mu_chunk,

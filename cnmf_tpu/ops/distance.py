@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cnmf_tpu.ops.nmf import MATMUL_PRECISION
 
@@ -67,15 +68,18 @@ def _knn_density_padded(Xp: jax.Array, n_real: jax.Array, n_neighbors: jax.Array
 
 
 def local_density_from_spectra(l2_spectra, n_neighbors: int):
-    """Distance + KNN density for L2-normalized spectra stacks.
+    """Distance + KNN density for L2-normalized spectra stacks; returns a
+    host (R,) array.
 
     The row count is padded to a multiple of 512 so the compiled program is
-    reused across K values (R = n_iter·K changes with K)."""
-    l2_spectra = jnp.asarray(l2_spectra)
-    R = l2_spectra.shape[0]
+    reused across K values (R = n_iter·K changes with K). The pad, the
+    scalar operands and the final row slice stay on the HOST: done eagerly
+    with jnp they each compile their own tiny XLA program (_pad /
+    convert_element_type / dynamic_slice — ~1.2 s of cold compiles through
+    axon's remote compiler for an 8 MB pad and a row slice)."""
+    arr = np.asarray(l2_spectra)
+    R = arr.shape[0]
     pad = (-R) % 512
-    Xp = jnp.pad(l2_spectra, ((0, pad), (0, 0)))
-    dens = _knn_density_padded(
-        Xp, jnp.asarray(R, jnp.int32), jnp.asarray(n_neighbors, jnp.int32)
-    )
-    return dens[:R]
+    Xp = np.pad(arr, ((0, pad), (0, 0))) if pad else arr
+    dens = _knn_density_padded(Xp, np.int32(R), np.int32(n_neighbors))
+    return np.asarray(dens)[:R]

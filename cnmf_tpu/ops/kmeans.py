@@ -189,9 +189,9 @@ def kmeans_fit(
     c0[:, :n_clusters] = centers0
 
     labels, inertia, centers = _lloyd_batched(
-        jnp.asarray(Xp), jnp.asarray(c0),
-        jnp.asarray(scaled_tol, dtype=X.dtype),
-        jnp.asarray(R, jnp.int32), jnp.asarray(n_clusters, jnp.int32),
+        Xp, c0,
+        np.asarray(scaled_tol, dtype=X.dtype),
+        np.int32(R), np.int32(n_clusters),
         max_iter,
     )
     best = int(np.argmin(np.asarray(inertia)))

@@ -188,10 +188,10 @@ def consensus_k_stats(
 
     n_cells = Xnc.shape[0] if n_cells is None else int(n_cells)
     return _fused_k_stats(
-        Xnc, jnp.asarray(Xpad), jnp.asarray(c0),
-        jnp.asarray(scaled_tol, dtype=X.dtype),
-        jnp.asarray(R, jnp.int32), jnp.asarray(k, jnp.int32),
-        jnp.asarray(n_cells, jnp.int32),
+        Xnc, Xpad, c0,
+        np.asarray(scaled_tol, dtype=X.dtype),
+        np.int32(R), np.int32(k),
+        np.int32(n_cells),
         n_cluster_pad=Kp, lloyd_max_iter=lloyd_max_iter,
         solver=solver, beta=float(beta),
         refit_tol=float(refit_tol),

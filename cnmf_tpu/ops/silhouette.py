@@ -90,5 +90,5 @@ def silhouette_score_padded(X, labels, n_clusters: int,
     lp = np.zeros(Rp, dtype=np.int32)
     lp[:R] = np.asarray(labels)
     return float(_silhouette_padded(
-        jnp.asarray(Xp), jnp.asarray(lp), jnp.asarray(R, jnp.int32), Kp
+        Xp, lp, np.int32(R), Kp
     ))

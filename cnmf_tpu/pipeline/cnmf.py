@@ -1535,6 +1535,284 @@ class cNMF:
             return out
         return np.concatenate(out, axis=0)
 
+    def warmup(self, components=None, verbose=True):
+        """AOT-compile the run's standard device programs (no execution).
+
+        XLA compiles are the fresh-environment cold-start wall: the remote
+        compiler on relayed TPU backends costs seconds per program, and a
+        full pipeline pass touches ~15 programs. ``warmup`` lowers and
+        compiles every program the prepared run will dispatch — per-bucket
+        device init / ladder solve / result pack for factorize, the KNN
+        density program, the fused consensus chain and the fused k-stats
+        program for every K in the replicate table — so they land in JAX's
+        compilation cache (set ``jax_compilation_cache_dir`` to persist
+        across processes; the CLI's ``warmup`` subcommand wires
+        ``--cache-dir``). Only shapes and static config go in; no data is
+        uploaded and nothing executes. The reference has no equivalent
+        because sklearn ships precompiled kernels (reference cnmf.py:692
+        starts instantly); this is the TPU-native answer.
+
+        Mirrors the runtime dispatch gates (device init, ladder,
+        packed-bucket drain, fused consensus/k-stats, Pallas eligibility) —
+        tests/test_warmup.py pins "a warmed process compiles nothing new".
+        Consensus' post-filter spectra count is assumed unshrunk (the
+        512-row pad bucket usually absorbs the density filter's drop); a
+        heavy drop recompiles that one program at run time.
+
+        Returns ``{program_label: compile_seconds}`` (-1.0 = lowering
+        failed; a gate mismatch, reported not raised)."""
+        import time as _time
+
+        from jax import ShapeDtypeStruct as SDS
+
+        from cnmf_tpu.io.h5ad import read_h5ad_shape, read_h5ad_x_is_sparse
+        from cnmf_tpu.ops.distance import _knn_density_padded
+        from cnmf_tpu.ops.init import _gen_device_init_jit
+        from cnmf_tpu.ops.nmf import (
+            _ladder,
+            nmf_cd_device_ladder,
+            nmf_cd_segment,
+            nmf_mu_device_ladder,
+            nmf_multiplicative_update,
+        )
+        from cnmf_tpu.ops.consensus_fused import _fused_consensus
+        from cnmf_tpu.ops.kstats import _fused_k_stats
+
+        # absorb the one-time device-link setup (and its tiny convert
+        # program) here rather than on the warmed run's first fetch
+        float(jnp.zeros(()))
+
+        run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
+        nmf_kwargs = yaml.load(
+            open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
+        )
+        N, G = read_h5ad_shape(self.paths["normalized_counts"])
+        _, Gall = read_h5ad_shape(self.paths["tpm"])
+        tpm_sparse = read_h5ad_x_is_sparse(self.paths["tpm"])
+        hvgs = open(self.paths["nmf_genes_list"]).read().split("\n")
+        H = len(hvgs)
+        dtype = jnp.dtype(self.compute_dtype)
+        idt = jnp.dtype(jnp.int32)
+
+        if components is None:
+            ks = sorted(set(int(k) for k in run_params.n_components))
+        else:
+            ks = sorted({int(components)} if np.isscalar(components)
+                        else {int(k) for k in components})
+        sizes = {
+            int(k): len(g)
+            for k, g in run_params.groupby("n_components", sort=True)
+            if int(k) in ks
+        }
+
+        solver = nmf_kwargs.get("solver", "cd")
+        beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+        init = nmf_kwargs.get("init", "random")
+        tol = float(nmf_kwargs.get("tol", 1e-4))
+        max_iter = int(nmf_kwargs.get("max_iter", 200))
+        l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H = compute_regularization(
+            float(nmf_kwargs.get("alpha_W", 0.0)),
+            nmf_kwargs.get("alpha_H", "same"),
+            float(nmf_kwargs.get("l1_ratio", 0.0)),
+            (N, G),
+        )
+
+        done = {}
+
+        def lower(label, fn, *args, **kwargs):
+            if label in done:  # e.g. two Ks sharing one density pad bucket
+                return
+            t0 = _time.perf_counter()
+            try:
+                fn.lower(*args, **kwargs).compile()
+                done[label] = round(_time.perf_counter() - t0, 2)
+            except Exception as e:  # gate drift: report, keep warming
+                done[label] = -1.0
+                if verbose:
+                    print(f"warmup: {label} failed to lower: {e}")
+            if verbose and done[label] >= 0:
+                print(f"warmup: {label} compiled in {done[label]:.2f}s")
+
+        # ---- same-process compact-upload programs (stash-gated) ----------
+        # mirrors factorize's CNMF_TPU_DEVICE_NORM gate and the TPM
+        # prefetch's compact branch (_prefetch_tpm_async) — both exist only
+        # when prepare ran in THIS process and stashed the integer image
+        nstash = getattr(self, "_norm_compact", None)
+        _env_dn = os.environ.get("CNMF_TPU_DEVICE_NORM", "")
+        if (
+            nstash is not None
+            and (_env_dn == "1"
+                 or (_env_dn != "0" and jax.default_backend() == "tpu"))
+        ):
+            from cnmf_tpu.ops.device_tpm import norm_from_counts
+
+            _, n_ints, n_cols, n_std = nstash
+            if n_std.dtype == self.compute_dtype:
+                lower(
+                    "norm_from_counts", norm_from_counts,
+                    SDS(n_ints.shape, jnp.dtype(n_ints.dtype)),
+                    SDS(n_cols.shape, jnp.dtype(n_cols.dtype)),
+                    SDS(n_std.shape, dtype),
+                )
+        tstash = getattr(self, "_tpm_compact", None)
+        if (
+            tstash is not None
+            and os.environ.get("CNMF_TPU_PREFETCH_TPM", "1") == "1"
+            and len(jax.devices()) == 1
+        ):
+            from cnmf_tpu.ops.device_tpm import tpm_from_counts
+
+            _, t_ints, t_scale = tstash
+            derived = (
+                t_ints.shape[0] * t_ints.shape[1]
+                * self.compute_dtype.itemsize
+            )
+            if (
+                t_scale.dtype == self.compute_dtype
+                and derived < 0.5 * self._tpm_device_limit()
+            ):
+                lower(
+                    "tpm_from_counts", tpm_from_counts,
+                    SDS(t_ints.shape, jnp.dtype(t_ints.dtype)),
+                    SDS(t_scale.shape, dtype),
+                )
+
+        # ---- factorize (single-device path; mirrors _factorize_one_k) ----
+        buckets = {}
+        for k in ks:
+            buckets.setdefault(-(-k // 8) * 8, []).append(k)
+        device_init = (
+            init == "random"
+            and jax.default_backend() == "tpu"
+            and os.environ.get("CNMF_TPU_DEVICE_INIT", "1") == "1"
+        )
+        use_dladder = (
+            device_ladder_enabled()
+            and os.environ.get("CNMF_TPU_COMPACT", "0") != "1"
+        )
+        total_padk = sum(pad_k * len(kk) for pad_k, kk in buckets.items())
+        pipeline_all = 2 * total_padk * N * dtype.itemsize < 2e9
+        Xs = SDS((N, G), dtype)
+        for pad_k, kk in sorted(buckets.items()):
+            Bs = sorted({sizes[k] for k in kk})
+            for B in Bs:
+                Ws, Hts = SDS((B, N, pad_k), dtype), SDS((B, G, pad_k), dtype)
+                if device_init:
+                    lower(
+                        f"init_pad{pad_k}_B{B}", _gen_device_init_jit(),
+                        SDS((B,), jnp.dtype(jnp.uint32)), SDS((), dtype),
+                        SDS((pad_k,), dtype),
+                        n=N, g=G, pad_k=pad_k, dt=dtype,
+                    )
+                if use_dladder and solver == "cd" and beta == 2.0:
+                    lower(
+                        f"cd_ladder_pad{pad_k}_B{B}", nmf_cd_device_ladder,
+                        Xs, Ws, Hts, tol=tol, max_iter=max_iter,
+                        ladder=tuple(_ladder(B, 16)),
+                        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+                        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+                    )
+                elif use_dladder:
+                    lower(
+                        f"mu_ladder_pad{pad_k}_B{B}", nmf_mu_device_ladder,
+                        Xs, Ws, Hts, beta=beta, tol=tol, max_iter=max_iter,
+                        ladder=tuple(_ladder(B, 16)),
+                        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+                        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+                        chunk=8,
+                        use_pallas=mu_pallas_eligible(beta, dtype),
+                    )
+                elif solver == "cd" and beta == 2.0:
+                    lower(
+                        f"cd_segment_pad{pad_k}_B{B}", nmf_cd_segment,
+                        Xs, Ws, Hts, SDS((B,), dtype), SDS((B,), idt),
+                        SDS((B,), jnp.dtype(bool)), SDS((), idt),
+                        seg_len=max_iter, tol=tol, update_H=True,
+                        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+                        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+                        use_pallas=cd_pallas_eligible((N, G), dtype),
+                        interpret=False,
+                    )
+                else:
+                    lower(
+                        f"mu_batch_pad{pad_k}_B{B}", nmf_multiplicative_update,
+                        Xs, Ws, Hts, beta=beta, tol=tol, max_iter=max_iter,
+                        update_H=True,
+                        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+                        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+                        chunk=8, use_pallas=mu_pallas_eligible(beta, dtype),
+                    )
+                if not use_dladder:
+                    # the non-ladder drain's glue: the eager zero-state
+                    # constructors of nmf_coordinate_descent and the
+                    # fetch-layout transpose (factorize's
+                    # _swap_components_genes) — executed/lowered here so a
+                    # warmed non-ladder run compiles nothing either
+                    from cnmf_tpu.ops.nmf import _swap_bg_axes
+
+                    jnp.zeros(B, dtype), jnp.zeros(B, jnp.int32)
+                    jnp.zeros(B, bool), jnp.zeros((), jnp.int32)
+                    lower(f"swap_bg_pad{pad_k}_B{B}", _swap_bg_axes,
+                          SDS((B, G, pad_k), dtype))
+            if pipeline_all:
+                # factorize's pack_ok also admits use_mesh=False on a
+                # multi-device host, so lower the pack regardless of
+                # device count (sub-second compile)
+                lower(
+                    f"pack_pad{pad_k}", pack_spectra_true_k,
+                    tuple(SDS((sizes[k], pad_k, G), dtype) for k in kk),
+                    ks=tuple(kk),
+                )
+
+        # ---- consensus / k-stats per K (mirrors consensus()) ------------
+        tpm_on_device = N * Gall * 4 < self._tpm_device_limit()
+        use_fused = (
+            tpm_on_device
+            and os.environ.get("CNMF_TPU_FUSED_CONSENSUS", "1") == "1"
+        )
+        use_pallas_mu = (
+            mu_pallas_eligible(beta, dtype) if solver == "mu" else False
+        )
+        kstat_pallas = (
+            mu_pallas_eligible(beta, dtype) if solver == "mu"
+            else cd_pallas_eligible((N, G), dtype)
+        )
+        for k in ks:
+            R = sizes[k] * k
+            Rp = -(-R // 512) * 512
+            Kp = -(-k // 8) * 8
+            lower(
+                f"knn_density_R{Rp}", _knn_density_padded,
+                SDS((Rp, G), dtype), SDS((), idt), SDS((), idt),
+            )
+            lower(
+                f"k_stats_k{k}", _fused_k_stats,
+                SDS((N, G), dtype), SDS((Rp, G), dtype),
+                SDS((10, Kp, G), dtype), SDS((), dtype),
+                SDS((), idt), SDS((), idt), SDS((), idt),
+                n_cluster_pad=Kp, lloyd_max_iter=300,
+                solver=solver, beta=beta, refit_tol=tol,
+                refit_max_iter=max_iter, l1_reg_W=l1_reg_W,
+                l2_reg_W=l2_reg_W, mu_chunk=8, use_pallas=kstat_pallas,
+            )
+            if use_fused:
+                lower(
+                    f"fused_consensus_k{k}", _fused_consensus,
+                    SDS((N, G), dtype), SDS((N, Gall), dtype),
+                    SDS((Rp, G), dtype), SDS((10, Kp, G), dtype),
+                    SDS((), dtype), SDS((), idt), SDS((), idt),
+                    SDS((Gall,), dtype), SDS((H,), idt),
+                    n_cluster_pad=Kp, lloyd_max_iter=300,
+                    solver=solver, beta=beta, tol=tol, max_iter=max_iter,
+                    mu_chunk=8, use_pallas=use_pallas_mu,
+                    n_cells=N, n_hvgs=H,
+                    alpha_W=float(nmf_kwargs.get("alpha_W", 0.0)),
+                    l1_ratio=float(nmf_kwargs.get("l1_ratio", 0.0)),
+                    refit_usage=True, normalize_tpm=False,
+                    zero_safe_std=tpm_sparse,
+                )
+        return done
+
     def factorize_multi_process(self, total_workers=None):
         """Compat shim: the batched device program replaces the reference's
         multiprocessing pool (cnmf.py:677-689); one call does all the work."""
@@ -1785,11 +2063,8 @@ class cNMF:
         if os.path.isfile(self.paths["local_density_cache"] % k):
             local_density = load_df_from_npz(self.paths["local_density_cache"] % k)
         else:
-            density = np.asarray(
-                local_density_from_spectra(
-                    jnp.asarray(l2_spectra.values.astype(self.compute_dtype)),
-                    n_neighbors,
-                )
+            density = local_density_from_spectra(
+                l2_spectra.values.astype(self.compute_dtype), n_neighbors,
             ).astype(np.float64)
             local_density = pd.DataFrame(
                 density, columns=["local_density"], index=l2_spectra.index

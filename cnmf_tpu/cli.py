@@ -103,6 +103,17 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     _apply_platform_override()
     _setup_compile_cache()
+    # Async artifact writes are safe under the CLI: flush_writes() below
+    # runs before this process reports success, so durability semantics are
+    # unchanged while prepare's h5ad writes (its write-throttled bulk)
+    # overlap any same-process device work. The LIBRARY default stays '0' —
+    # a Python caller may hand off to external workers right after
+    # prepare() returns and must opt in + flush_writes() explicitly.
+    # (restored afterwards: in-process callers of main() — tests — must not
+    # inherit a mutated environment)
+    _aw_prev = os.environ.get("CNMF_TPU_ASYNC_WRITES")
+    if _aw_prev is None:
+        os.environ["CNMF_TPU_ASYNC_WRITES"] = "1"
     cnmf_obj = cNMF(output_dir=args.output_dir, name=args.name)
 
     if args.command == "prepare":
@@ -146,7 +157,11 @@ def main(argv=None):
     # CNMF_TPU_ASYNC_WRITES=1: a stage's background artifact writes must be
     # durable — and any write failure must be raised, not swallowed at
     # interpreter exit — before the CLI process reports success
-    cnmf_obj.flush_writes()
+    try:
+        cnmf_obj.flush_writes()
+    finally:
+        if _aw_prev is None:
+            os.environ.pop("CNMF_TPU_ASYNC_WRITES", None)
 
 
 if __name__ == "__main__":

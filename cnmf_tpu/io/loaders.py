@@ -4,13 +4,16 @@ Mirrors the reference's input-format matrix (reference cnmf.py:383-433):
 ``.h5ad`` → h5ad codec; ``.mtx``/``.mtx.gz`` → 10x directory; ``.npz`` →
 DataFrame npz; anything else → tab-delimited text.
 
-DataFrame-sourced inputs (txt / df.npz) stay DENSE, exactly as the
-reference keeps them (its ``--densify`` only converts sparse inputs the
-other way, cnmf.py:405-406) — downstream sparse-vs-dense behavioral forks
-(e.g. the zero-std guard in get_norm_counts) key off the input format, and
-converting a mostly-nonzero counts table to CSR costs a ~GB-scale
-first-touch allocation pass measured at 30+ s on this host class for a
-216 MB matrix.
+DataFrame-sourced inputs (txt / df.npz) stay DENSE. This is a DELIBERATE
+representation deviation: the reference wraps them in CSR unless
+``--densify`` (cnmf.py:395-402), but converting a mostly-nonzero counts
+table to CSR costs a ~GB-scale first-touch allocation pass measured at
+30+ s on this host class for a 216 MB matrix, and the live reference A/B
+(tests/test_reference_ab.py — the actual reference code run against this
+framework on identical inputs) shows every artifact agrees at ~1e-11
+relative SSE across the sparse/dense fork: the HVG gene list is exactly
+equal (the sparse and dense Fano selections are the same math, SURVEY
+§2.3) and only the h5ad storage encoding differs.
 """
 
 from __future__ import annotations

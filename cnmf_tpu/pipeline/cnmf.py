@@ -1720,7 +1720,8 @@ class cNMF:
                         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
                         l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
                         chunk=8,
-                        use_pallas=mu_pallas_eligible(beta, dtype),
+                        use_pallas=mu_pallas_eligible(beta, dtype,
+                                                      shape=(N, G)),
                     )
                 elif solver == "cd" and beta == 2.0:
                     lower(
@@ -1740,7 +1741,9 @@ class cNMF:
                         update_H=True,
                         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
                         l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
-                        chunk=8, use_pallas=mu_pallas_eligible(beta, dtype),
+                        chunk=8,
+                        use_pallas=mu_pallas_eligible(beta, dtype,
+                                                      shape=(N, G)),
                     )
                 if not use_dladder:
                     # the non-ladder drain's glue: the eager zero-state
@@ -1771,10 +1774,11 @@ class cNMF:
             and os.environ.get("CNMF_TPU_FUSED_CONSENSUS", "1") == "1"
         )
         use_pallas_mu = (
-            mu_pallas_eligible(beta, dtype) if solver == "mu" else False
+            mu_pallas_eligible(beta, dtype, shape=(N, Gall))
+            if solver == "mu" else False
         )
         kstat_pallas = (
-            mu_pallas_eligible(beta, dtype) if solver == "mu"
+            mu_pallas_eligible(beta, dtype, shape=(N, G)) if solver == "mu"
             else cd_pallas_eligible((N, G), dtype)
         )
         for k in ks:
@@ -2141,7 +2145,8 @@ class cNMF:
                     alpha_W=float(nmf_kwargs.get("alpha_W", 0.0)),
                     l1_ratio=float(nmf_kwargs.get("l1_ratio", 0.0)),
                     use_pallas=(
-                        mu_pallas_eligible(beta, self.compute_dtype)
+                        mu_pallas_eligible(beta, self.compute_dtype,
+                                           shape=tpm.X.shape)
                         if solver == "mu" else False
                     ),
                     refit_usage=refit_usage,
@@ -2432,7 +2437,10 @@ class cNMF:
             refit_max_iter=int(nmf_kwargs.get("max_iter", 200)),
             l1_reg_W=l1_reg_W, l2_reg_W=l2_reg_W,
             use_pallas=(
-                mu_pallas_eligible(beta, self.compute_dtype)
+                mu_pallas_eligible(
+                    beta, self.compute_dtype,
+                    shape=(n_cells, norm_counts_dev.shape[1]),
+                )
                 if nmf_kwargs.get("solver", "cd") == "mu"
                 else cd_pallas_eligible(
                     (n_cells, norm_counts_dev.shape[1]), self.compute_dtype

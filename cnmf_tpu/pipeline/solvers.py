@@ -57,22 +57,51 @@ def compute_regularization(
     return float(l1_reg_W), float(l1_reg_H), float(l2_reg_W), float(l2_reg_H)
 
 
-def mu_pallas_eligible(beta: float, dtype, allow_sharded: bool = False) -> bool:
-    """Whether the fused Pallas MU kernels apply (TPU backend, f32, beta≠2,
-    not opted out) — the same gate solve_nmf_batch uses.
+def mu_pallas_eligible(beta: float, dtype, allow_sharded: bool = False,
+                       shape=None) -> bool:
+    """Whether the fused Pallas MU kernels apply (TPU backend, f32, beta≠2).
+
+    ``CNMF_TPU_PALLAS``: '0' = never, 'force' = whenever the base gates
+    pass, '1' (default) = AUTO. The auto rule follows the measured round-4
+    speed/precision matrix at the bench shapes (B=100, N=2700, G=2000,
+    K=16; W+H sweep TFLOP/s):
+
+    ==========  ========  =====
+    precision   pallas    XLA
+    ==========  ========  =====
+    'high'      3.68      4.73   → XLA (Mosaic has no 3-pass mode; its
+                                    HIGHEST costs the full 6-pass)
+    'highest'   3.68      3.59   → Pallas (ties on speed, and keeps the
+                                    (chunk, N, G) reconstruction out of HBM)
+    'default'   9.38      11.09  → XLA
+    ==========  ========  =====
+
+    plus a MEMORY override: when the XLA path's chunked (8, N, G)
+    reconstruction would exceed ~2 GB of HBM (atlas-scale MU), the Pallas
+    fusion applies regardless of precision — pass ``shape=(N, G)`` to
+    enable that check.
 
     ``pallas_call`` has no GSPMD partitioning rule, so on a multi-device
     backend the kernels only apply per shard INSIDE shard_map — those call
     sites pass ``allow_sharded=True``; everywhere else (fused consensus,
     k-stats, plain refits, whose operands may carry cell-sharded
     NamedShardings) multi-device disables Pallas."""
-    return (
+    env = os.environ.get("CNMF_TPU_PALLAS", "1")
+    if env == "0":
+        return False
+    base = (
         beta != 2.0
         and jax.default_backend() == "tpu"
         and jnp.dtype(dtype) == jnp.float32
         and (allow_sharded or jax.device_count() == 1)
-        and os.environ.get("CNMF_TPU_PALLAS", "1") == "1"
     )
+    if not base:
+        return False
+    if env == "force":
+        return True
+    if shape is not None and 8 * shape[0] * shape[1] * 4 > 2e9:
+        return True
+    return MATMUL_PRECISION == "highest"
 
 
 def cd_pallas_eligible(shape, dtype) -> bool:
@@ -162,7 +191,9 @@ def solve_nmf_batch(
     # beta != 2 losses on TPU (the XLA path materializes it in HBM chunk by
     # chunk). Disabled under the sharded mesh path — pallas_call has no GSPMD
     # partitioning rule.
-    use_pallas = allow_pallas and mu_pallas_eligible(beta, jnp.asarray(W0).dtype)
+    use_pallas = allow_pallas and mu_pallas_eligible(
+        beta, jnp.asarray(W0).dtype, shape=X.shape
+    )
     return nmf_multiplicative_update(
         X, W0, Ht0, beta=beta, tol=tol, max_iter=max_iter, update_H=update_H,
         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
@@ -237,7 +268,7 @@ def solve_nmf_batch_ladder(X, W0, Ht0, nmf_kwargs: dict,
         )
     else:
         use_pallas = allow_pallas and mu_pallas_eligible(
-            beta, jnp.asarray(W0).dtype
+            beta, jnp.asarray(W0).dtype, shape=X.shape
         )
         spec, n_iter, stage_sweeps = nmf_mu_device_ladder(
             X, W0, Ht0, beta=beta, tol=tol, max_iter=max_iter,
@@ -320,7 +351,7 @@ def solve_nmf_batch_sharded(
     # per-shard use inside shard_map — the one place multi-device Pallas
     # is legitimate
     use_pallas = mu_pallas_eligible(beta, np.asarray(W0).dtype,
-                                    allow_sharded=True)
+                                    allow_sharded=True, shape=X.shape)
     shmap_ok = (
         solver != "cd" and beta != 2.0 and mesh.shape["cell"] == 1
         and (use_pallas or force_shard_map)

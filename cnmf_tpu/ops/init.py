@@ -96,30 +96,36 @@ def random_init_batch_device(
     )
 
 
+def draw_init_batch(seed_arr, avg_arr, kmask, *, n, g, pad_k, dt):
+    """Traceable core of the device init: per-seed threefry draws at the
+    bucket width, pad columns zeroed by the traced mask (0·|noise| is
+    exact) — K stays out of the shapes. The draw is keyed ONLY by each
+    restart's own seed, so any partition of the batch (chunks, mesh
+    shards) reproduces identical factors. Shared by the single-device jit
+    below and the shard_map factorize path (pipeline/solvers.py
+    solve_nmf_sharded_device)."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(seed):
+        key = jax.random.PRNGKey(seed)
+        kh, kw = jax.random.split(key)
+        Ht = jnp.abs(avg_arr * jax.random.normal(kh, (g, pad_k), dtype=dt))
+        W = jnp.abs(avg_arr * jax.random.normal(kw, (n, pad_k), dtype=dt))
+        return W * kmask, Ht * kmask
+
+    return jax.vmap(one)(seed_arr)
+
+
 # module scope so every restart chunk of every K hits the SAME jit cache
 # entry — a closure re-created per call misses the cache and re-traces
 @functools.lru_cache(maxsize=1)
 def _gen_device_init_jit():
     import jax
 
-    @functools.partial(
+    return functools.partial(
         jax.jit, static_argnames=("n", "g", "pad_k", "dt")
-    )
-    def gen(seed_arr, avg_arr, kmask, *, n, g, pad_k, dt):
-        import jax.numpy as jnp
-
-        def one(seed):
-            key = jax.random.PRNGKey(seed)
-            kh, kw = jax.random.split(key)
-            # draw at the bucket width and zero the pad columns with the
-            # traced mask (0·|noise| is exact) — K stays out of the shapes
-            Ht = jnp.abs(avg_arr * jax.random.normal(kh, (g, pad_k), dtype=dt))
-            W = jnp.abs(avg_arr * jax.random.normal(kw, (n, pad_k), dtype=dt))
-            return W * kmask, Ht * kmask
-
-        return jax.vmap(one)(seed_arr)
-
-    return gen
+    )(draw_init_batch)
 
 
 def _gen_device_init(*args, **kwargs):

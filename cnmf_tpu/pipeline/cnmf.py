@@ -62,12 +62,14 @@ from cnmf_tpu.pipeline.solvers import (
     beta_loss_to_float,
     cd_pallas_eligible,
     compute_regularization,
+    device_init_enabled,
     device_ladder_enabled,
     mu_pallas_eligible,
     refit_spectra_transposed,
     refit_usages,
     solve_nmf_batch,
     solve_nmf_batch_ladder,
+    solve_nmf_sharded_device,
     solve_nmf_batch_sharded,
     solve_nmf_grid,
     solve_nmf_staged,
@@ -966,6 +968,15 @@ class cNMF:
         # densify + upload again (skipped at atlas scale to not pin HBM, and
         # on multi-device hosts where consensus wants a cell-SHARDED buffer,
         # not this replicated one)
+        # restart-axis mesh: replicate X across the devices ONCE here — the
+        # per-K shard_map solves (solvers.solve_nmf_sharded_device) then
+        # reuse the placement instead of re-broadcasting every K
+        if use_mesh and len(jax.devices()) > 1 and isinstance(Xd, jax.Array):
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            _mesh0 = build_mesh()
+            if _mesh0.shape["cell"] == 1:
+                Xd = jax.device_put(Xd, NamedSharding(_mesh0, _P()))
         if dense_bytes < 2e9 and len(jax.devices()) == 1:
             self._device_cached("_norm_counts_dev_cache", norm_counts, lambda: Xd)
 
@@ -1141,11 +1152,7 @@ class cNMF:
             if use_staged:
                 init = _nmf_kwargs.get("init", "random")
                 dtype = self.compute_dtype
-                device_init = (
-                    init == "random"
-                    and jax.default_backend() == "tpu"
-                    and os.environ.get("CNMF_TPU_DEVICE_INIT", "1") == "1"
-                )
+                device_init = init == "random" and device_init_enabled()
                 x_mean = self._x_mean_for_init(X, dtype) if device_init else None
                 entries = [(int(k), g) for k, g in
                            sub.groupby("n_components", sort=True)]
@@ -1218,11 +1225,7 @@ class cNMF:
                     buckets.setdefault(-(-k // 8) * 8, []).append((k, group))
                 init = _nmf_kwargs.get("init", "random")
                 dtype = self.compute_dtype
-                device_init = (
-                    init == "random"
-                    and jax.default_backend() == "tpu"
-                    and os.environ.get("CNMF_TPU_DEVICE_INIT", "1") == "1"
-                )
+                device_init = init == "random" and device_init_enabled()
                 x_mean = self._x_mean_for_init(X, dtype) if device_init else None
                 drain_threads = []
                 for pad_k, entries in sorted(buckets.items()):
@@ -1410,32 +1413,49 @@ class cNMF:
         chunk = min(restart_chunk, B)
 
         multi_device = use_mesh and len(jax.devices()) > 1
+        mesh = build_mesh() if multi_device else None
         # On the TPU backend, generate the random init ON DEVICE from the
-        # replicate seeds (ops/init.py random_init_batch_device): the host
-        # path ships ~30 MB of noise per K over a link measured at ~32 MB/s.
-        # The multi-device mesh path keeps host init (its padding/sharding
-        # helpers take host arrays).
-        device_init = (
-            init == "random"
-            and not multi_device
-            and jax.default_backend() == "tpu"
-            and os.environ.get("CNMF_TPU_DEVICE_INIT", "1") == "1"
+        # replicate seeds (ops/init.py): the host path ships ~30 MB of noise
+        # per K over a link measured at ~32 MB/s. On a restart-axis mesh the
+        # init + ladder both run inside ONE shard_map program
+        # (solvers.solve_nmf_sharded_device) — only the seed vector crosses
+        # the link; cell-sharded meshes keep the GSPMD path with host init
+        # (its padding/sharding helpers take host arrays).
+        sharded_device_path = (
+            multi_device
+            and init == "random"
+            and device_init_enabled()
+            and device_ladder_enabled()
+            and mesh.shape["cell"] == 1
         )
-        x_mean = self._x_mean_for_init(X_host, dtype) if device_init else None
+        device_init = (
+            init == "random" and device_init_enabled() and not multi_device
+        )
+        x_mean = (
+            self._x_mean_for_init(X_host, dtype)
+            if (device_init or sharded_device_path) else None
+        )
 
         out = []
         for start in range(0, B, chunk):
             _t0 = _time.perf_counter()
             chunk_seeds = seeds[start:start + chunk]
-            W0, Ht0 = self._build_restart_init(
-                X_host, k, chunk_seeds, init, pad_k, device_init, x_mean, dtype
-            )
-
-            _t1 = _time.perf_counter()
-            mesh = None
             Hs_ladder = None
-            if multi_device:
-                mesh = build_mesh()
+            if sharded_device_path:
+                _t1 = _time.perf_counter()
+                Hs_ladder, n_iter, ladder_exec = solve_nmf_sharded_device(
+                    mesh, Xd, chunk_seeds, x_mean, k, pad_k, nmf_kwargs
+                )
+                W = Ht = None
+            else:
+                W0, Ht0 = self._build_restart_init(
+                    X_host, k, chunk_seeds, init, pad_k, device_init, x_mean,
+                    dtype,
+                )
+                _t1 = _time.perf_counter()
+            if sharded_device_path:
+                pass
+            elif multi_device:
                 # beta != 2 solves run under shard_map over the restart axis
                 # so the fused Pallas MU kernels stay usable per shard;
                 # frobenius/CD and cell-sharded meshes take the GSPMD path
@@ -1478,7 +1498,7 @@ class cNMF:
                 # per-stage sweep counts) so executed-FLOP accounting reflects
                 # the shrinking batch instead of B × max(n_iter)
                 entry = (pad_k, n_iter)
-                if mesh is None and Hs_ladder is not None:
+                if Hs_ladder is not None:
                     entry = (pad_k, n_iter, ladder_exec)
                 self._sweep_counts.append(entry)
             _t2 = _time.perf_counter()
@@ -1681,11 +1701,7 @@ class cNMF:
         buckets = {}
         for k in ks:
             buckets.setdefault(-(-k // 8) * 8, []).append(k)
-        device_init = (
-            init == "random"
-            and jax.default_backend() == "tpu"
-            and os.environ.get("CNMF_TPU_DEVICE_INIT", "1") == "1"
-        )
+        device_init = init == "random" and device_init_enabled()
         use_dladder = (
             device_ladder_enabled()
             and os.environ.get("CNMF_TPU_COMPACT", "0") != "1"

@@ -228,6 +228,116 @@ def solve_nmf_grid(X, W0, Ht0, nmf_kwargs: dict,
     )
 
 
+def device_init_enabled() -> bool:
+    """Resolve the CNMF_TPU_DEVICE_INIT knob: '0' restores the
+    sklearn-bit-identical host draw, 'force' enables the device (threefry)
+    init on any backend (tests / CPU dryruns), '1' (default) enables it on
+    the TPU backend — where the host path would ship ~270 MB of noise per
+    run over the relay link."""
+    env = os.environ.get("CNMF_TPU_DEVICE_INIT", "1")
+    if env == "0":
+        return False
+    if env == "force":
+        return True
+    return env == "1" and jax.default_backend() == "tpu"
+
+
+def solve_nmf_sharded_device(
+    mesh, X, seeds, x_mean: float, k: int, pad_k: int, nmf_kwargs: dict,
+    min_bucket: int = 16, mu_chunk: int = 8,
+):
+    """Multi-device factorize with ON-DEVICE init + ladder compaction:
+    ONE shard_map program per pad bucket, where only the replicate seed
+    vector crosses the host link (SURVEY §2.5 — 'factorize is one device
+    program' now holds on the mesh too; the round-2/3 link-byte wins were
+    single-device-gated before round 4).
+
+    Restart-axis meshes only (``mesh.shape['cell'] == 1``): each device
+    draws its local restart slice's init from the per-restart seeds (the
+    draw is seed-keyed and partition-independent — ops.init.draw_init_batch)
+    and runs the ladder on that slice independently; X is replicated, so no
+    collectives run during the solve. Exact per restart: the ladder is
+    restart-separable, and at f64 its factors match the plain batched
+    solver bit-for-bit regardless of the local schedule
+    (tests/test_sharding.py pins mesh == single-device at f64).
+
+    Returns ``(spectra (B, pad_k, G) restart-sharded fetch layout,
+    n_iter (B,), (ladder, stage_sweeps (n_stages,) summed over shards))``.
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cnmf_tpu.ops.init import draw_init_batch
+    from cnmf_tpu.parallel.mesh import pad_to_multiple
+
+    if mesh.shape["cell"] != 1:
+        raise ValueError("solve_nmf_sharded_device is restart-axis only")
+    n_restart = mesh.shape["restart"]
+    solver = nmf_kwargs.get("solver", "cd")
+    beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+    tol = float(nmf_kwargs.get("tol", 1e-4))
+    max_iter = int(nmf_kwargs.get("max_iter", 200))
+    l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H = compute_regularization(
+        float(nmf_kwargs.get("alpha_W", 0.0)),
+        nmf_kwargs.get("alpha_H", "same"),
+        float(nmf_kwargs.get("l1_ratio", 0.0)),
+        X.shape,
+    )
+    dtype = jnp.dtype(X.dtype)
+    seeds_p, true_b = pad_to_multiple(
+        np.asarray(seeds, dtype=np.uint32), n_restart
+    )
+    b_local = len(seeds_p) // n_restart
+    ladder = tuple(_ladder(b_local, min_bucket))
+    avg = np.dtype(dtype).type(np.sqrt(x_mean / k))
+    kmask = (np.arange(pad_k) < k).astype(dtype)
+    use_pallas = mu_pallas_eligible(beta, dtype, allow_sharded=True,
+                                    shape=X.shape)
+    n, g = X.shape
+
+    def local(Xl, seeds_l, avg_l, kmask_l):
+        W0, Ht0 = draw_init_batch(
+            seeds_l, avg_l, kmask_l, n=n, g=g, pad_k=pad_k, dt=dtype
+        )
+        if solver == "cd":
+            if beta != 2.0:
+                raise ValueError("CD solver supports frobenius loss only")
+            spec, n_it, sweeps = nmf_cd_device_ladder(
+                Xl, W0, Ht0, tol=tol, max_iter=max_iter, ladder=ladder,
+                l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+                l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+            )
+        else:
+            spec, n_it, sweeps = nmf_mu_device_ladder(
+                Xl, W0, Ht0, beta=beta, tol=tol, max_iter=max_iter,
+                ladder=ladder,
+                l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+                l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+                chunk=mu_chunk, use_pallas=use_pallas,
+            )
+        return spec, n_it, sweeps[None]
+
+    rspec = P("restart", None, None)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("restart"), P(), P()),
+        out_specs=(rspec, P("restart"), P("restart", None)),
+        check_vma=False,
+    )
+    repl = NamedSharding(mesh, P())
+    # factorize pre-replicates X once across the mesh; only re-place when a
+    # caller hands in something else (a per-K re-broadcast costs a full ICI
+    # pass each)
+    Xd = X if getattr(X, "sharding", None) == repl else jax.device_put(X, repl)
+    seeds_d = jax.device_put(
+        seeds_p, NamedSharding(mesh, P("restart"))
+    )
+    spec, n_iter, stage_sweeps = jax.jit(fn)(
+        Xd, seeds_d, jnp.asarray(avg, dtype), jnp.asarray(kmask)
+    )
+    return spec[:true_b], n_iter[:true_b], (ladder, stage_sweeps.sum(axis=0))
+
+
 def device_ladder_enabled() -> bool:
     """Resolve the CNMF_TPU_DEVICE_LADDER knob: '1' forces the on-device
     ladder everywhere, '0' disables it, unset enables it on the TPU backend

@@ -452,7 +452,7 @@ class cNMF:
                 # read-back returns, so a rewritten artifact falls through
                 # to the float upload below.
                 stash = getattr(self, "_tpm_compact", None)
-                if stash is not None and len(jax.devices()) == 1:
+                if stash is not None:
                     ref, ints, scale = stash
                     target = ref()
                     derived_bytes = (
@@ -466,20 +466,52 @@ class cNMF:
                     ):
                         from cnmf_tpu.ops.device_tpm import tpm_from_counts
 
-                        # factorize may have ALREADY uploaded this integer
-                        # image to derive its own input (CNMF_TPU_DEVICE_NORM)
-                        # — reuse that device buffer: the TPM expansion then
-                        # moves ZERO bulk bytes over the link
-                        held = getattr(self, "_ints_dev", None)
-                        ints_dev = (
-                            held[1] if held is not None and held[0] is ints
-                            else jnp.asarray(ints)
+                        multi = (
+                            len(jax.devices()) > 1
+                            and getattr(self, "shard_cells", True)
                         )
+                        if multi:
+                            # consensus wants the TPM cell-SHARDED
+                            # (parallel.mesh.put_cells layout): ship the
+                            # INTEGER image sharded + padded and expand on
+                            # device — same 2-4x link-byte win as the
+                            # single-chip path (round-4 mesh extension).
+                            # Zero pad rows expand to zero TPM rows, which
+                            # every consensus consumer treats as neutral.
+                            from cnmf_tpu.parallel.mesh import cell_sharding
+
+                            n_dev = len(jax.devices())
+                            pad = (-ints.shape[0]) % n_dev
+                            ints_p = (
+                                np.pad(ints, ((0, pad), (0, 0)))
+                                if pad else ints
+                            )
+                            scale_p = (
+                                np.pad(scale, (0, pad), constant_values=1)
+                                if pad else scale
+                            )
+                            ints_dev = jax.device_put(
+                                ints_p, cell_sharding(2)
+                            )
+                            scale_dev = jax.device_put(
+                                scale_p, cell_sharding(1)
+                            )
+                        else:
+                            # factorize may have ALREADY uploaded this
+                            # integer image to derive its own input
+                            # (CNMF_TPU_DEVICE_NORM) — reuse that device
+                            # buffer: the TPM expansion then moves ZERO bulk
+                            # bytes over the link
+                            held = getattr(self, "_ints_dev", None)
+                            ints_dev = (
+                                held[1]
+                                if held is not None and held[0] is ints
+                                else jnp.asarray(ints)
+                            )
+                            scale_dev = jnp.asarray(scale)
                         self._device_cached(
                             "_tpm_dev_cache", target,
-                            lambda: tpm_from_counts(
-                                ints_dev, jnp.asarray(scale)
-                            ),
+                            lambda: tpm_from_counts(ints_dev, scale_dev),
                         )
                         return
                 self._flush_pending_write(tpm_path)
@@ -1678,7 +1710,12 @@ class cNMF:
         if (
             tstash is not None
             and os.environ.get("CNMF_TPU_PREFETCH_TPM", "1") == "1"
-            and len(jax.devices()) == 1
+            # the cell-SHARDED mesh variant compiles against sharded inputs
+            # whose GSPMD key a plain lowering would not match — warmup
+            # covers the single-device-layout runs (1 device or
+            # shard_cells=False), mirroring _prefetch_tpm_async
+            and not (len(jax.devices()) > 1
+                     and getattr(self, "shard_cells", True))
         ):
             from cnmf_tpu.ops.device_tpm import tpm_from_counts
 

@@ -42,9 +42,20 @@ def mean_var(X, ddof: int = 0) -> Tuple[np.ndarray, np.ndarray]:
             sq = np.bincount(cols, weights=np.square(Xc.data), minlength=g) / n
         var = sq - mean**2
     else:
+        # two-pass (no sq−mean² cancellation), accumulated over COLUMN
+        # blocks: np.var materializes a full centered copy — 216 MB fresh
+        # pages at the PBMC bench shape, seconds in a degraded host window
+        # (fresh GB-scale allocations fault at 60-180 MB/s on this host
+        # class) — while a ~32 MB block temp stays in the warm malloc arena
         X = np.asarray(X)
-        mean = X.mean(axis=0)
-        var = X.var(axis=0, ddof=0)
+        mean = X.mean(axis=0, dtype=np.float64)
+        g = X.shape[1]
+        block = max(1, int(4e6) // max(n, 1))
+        var = np.empty(g, dtype=np.float64)
+        for j0 in range(0, g, block):
+            blk = X[:, j0:j0 + block].astype(np.float64, copy=False)
+            d = blk - mean[j0:j0 + block]
+            var[j0:j0 + block] = np.einsum("ij,ij->j", d, d) / n
     if ddof:
         var = var * n / (n - ddof)
     return mean.astype(np.float64), var.astype(np.float64)

@@ -619,7 +619,8 @@ class cNMF:
                 )
             with stage_timer("prepare.write_tpm"):
                 seeded = self._write_prepare_h5ad(self.paths["tpm"], tpm)
-            self._stash_tpm_compact(seeded, input_counts.X)
+            with stage_timer("prepare.stash_tpm"):
+                self._stash_tpm_compact(seeded, input_counts.X)
         elif tpm_fn.endswith(".h5ad"):
             shutil.copy(tpm_fn, self.paths["tpm"])
             tpm = read_h5ad(self.paths["tpm"])
@@ -627,14 +628,15 @@ class cNMF:
             tpm = load_counts(tpm_fn, densify=densify)
             self._write_prepare_h5ad(self.paths["tpm"], tpm)
 
-        gene_tpm_mean, gene_tpm_var = mean_var(tpm.X)
-        gene_tpm_stddev = gene_tpm_var ** 0.5
-        input_tpm_stats = pd.DataFrame(
-            [gene_tpm_mean, gene_tpm_stddev],
-            index=["__mean", "__std"],
-            columns=tpm.var.index,
-        ).T
-        save_df_to_npz(input_tpm_stats, self.paths["tpm_stats"])
+        with stage_timer("prepare.tpm_stats"):
+            gene_tpm_mean, gene_tpm_var = mean_var(tpm.X)
+            gene_tpm_stddev = gene_tpm_var ** 0.5
+            input_tpm_stats = pd.DataFrame(
+                [gene_tpm_mean, gene_tpm_stddev],
+                index=["__mean", "__std"],
+                columns=tpm.var.index,
+            ).T
+            save_df_to_npz(input_tpm_stats, self.paths["tpm_stats"])
 
         if genes_file is not None:
             highvargenes = open(genes_file).read().rstrip().split("\n")
@@ -646,27 +648,48 @@ class cNMF:
                 input_counts, tpm,
                 num_highvar_genes=num_highvar_genes,
                 high_variance_genes_filter=highvargenes,
+                # tpm_stats just computed these exact ddof=0 moments — the
+                # HVG selection must not pay a second full pass over the
+                # (possibly GB-scale) TPM
+                tpm_moments=(gene_tpm_mean, gene_tpm_var),
             )
         with stage_timer("prepare.write_norm_counts"):
             seeded_norm = self.save_norm_counts(norm_counts)
-        self._stash_norm_compact(seeded_norm, input_counts.var.index)
+        with stage_timer("prepare.stash_norm"):
+            self._stash_norm_compact(seeded_norm, input_counts.var.index)
 
-        (replicate_params, run_params) = self.get_nmf_iter_params(
-            ks=components, n_iter=n_iter, random_state_seed=seed,
-            beta_loss=beta_loss, alpha_usage=alpha_usage,
-            alpha_spectra=alpha_spectra, init=init, max_iter=max_NMF_iter,
-        )
-        self.save_nmf_iter_params(replicate_params, run_params)
+        with stage_timer("prepare.iter_params"):
+            (replicate_params, run_params) = self.get_nmf_iter_params(
+                ks=components, n_iter=n_iter, random_state_seed=seed,
+                beta_loss=beta_loss, alpha_usage=alpha_usage,
+                alpha_spectra=alpha_spectra, init=init, max_iter=max_NMF_iter,
+            )
+            self.save_nmf_iter_params(replicate_params, run_params)
 
     def get_norm_counts(
-        self, counts, tpm, high_variance_genes_filter=None, num_highvar_genes=None
+        self, counts, tpm, high_variance_genes_filter=None,
+        num_highvar_genes=None, tpm_moments=None,
     ) -> AnnData:
         """Subset to HVGs and scale genes to unit variance without centering
         (behavioral contract per reference cnmf.py:487-556: f64 cast,
         ddof=1 scaling, zero-std genes guarded only for sparse input, the
-        HVG list file, and the zero-HVG-cell error)."""
+        HVG list file, and the zero-HVG-cell error).
+
+        ``tpm_moments``: optional precomputed per-gene (mean, var) of
+        ``tpm.X`` at ddof=0 — prepare passes the tpm_stats moments so the
+        Fano HVG selection doesn't pay a second full pass over the TPM."""
         if high_variance_genes_filter is None:
-            hvg_stats, _ = get_highvar_genes(tpm.X, numgenes=num_highvar_genes)
+            if tpm_moments is not None:
+                from cnmf_tpu.ops.stats import fano_hvg_stats
+
+                hvg_stats, _ = fano_hvg_stats(
+                    tpm_moments[0], tpm_moments[1],
+                    numgenes=num_highvar_genes,
+                )
+            else:
+                hvg_stats, _ = get_highvar_genes(
+                    tpm.X, numgenes=num_highvar_genes
+                )
             high_variance_genes_filter = list(
                 tpm.var.index[hvg_stats.high_var.values]
             )

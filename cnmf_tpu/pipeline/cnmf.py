@@ -628,6 +628,10 @@ class cNMF:
             tpm = load_counts(tpm_fn, densify=densify)
             self._write_prepare_h5ad(self.paths["tpm"], tpm)
 
+        # shape/sparsity note for factorize's cold-start auto-warm — lets
+        # the same-process job builder avoid joining the async tpm write
+        # just to read a header
+        self._tpm_meta = (tpm.X.shape[1], sp.issparse(tpm.X))
         with stage_timer("prepare.tpm_stats"):
             gene_tpm_mean, gene_tpm_var = mean_var(tpm.X)
             gene_tpm_stddev = gene_tpm_var ** 0.5
@@ -939,6 +943,15 @@ class cNMF:
         # link-setup cost on some TPU runtimes; absorb it on 4 bytes here
         # rather than on the first spectra fetch
         float(jnp.zeros(()))
+
+        # cold start: AOT-compile this run's own programs in parallel
+        # (joined) and the consensus programs in the background — see
+        # _autowarm. No-op when warm, on CPU, or without a persistent
+        # compilation cache.
+        self._autowarm(
+            norm_shape=norm_counts.X.shape,
+            tpm_meta=getattr(self, "_tpm_meta", None),
+        )
 
         # per-K (padded_k, n_iter_handle) records — bench.py derives analytic
         # CD FLOPs (4·N·G·K per sweep per restart) from these
@@ -1610,7 +1623,7 @@ class cNMF:
             return out
         return np.concatenate(out, axis=0)
 
-    def warmup(self, components=None, verbose=True):
+    def warmup(self, components=None, verbose=True, parallel=4):
         """AOT-compile the run's standard device programs (no execution).
 
         XLA compiles are the fresh-environment cold-start wall: the remote
@@ -1634,10 +1647,106 @@ class cNMF:
         512-row pad bucket usually absorbs the density filter's drop); a
         heavy drop recompiles that one program at run time.
 
+        ``parallel``: thread-pool width for the compiles — concurrent
+        remote compiles through axon overlap (measured ~2.8x for 3
+        threads), so the wall is ~max(program) instead of the sum.
+
         Returns ``{program_label: compile_seconds}`` (-1.0 = lowering
         failed; a gate mismatch, reported not raised)."""
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
+        # absorb the one-time device-link setup (and its tiny convert
+        # program) here rather than on the warmed run's first fetch
+        float(jnp.zeros(()))
+
+        jobs = self._warmup_jobs(components)
+        done = {}
+
+        def run_one(job):
+            _stage, label, fn, args, kwargs = job
+            t0 = _time.perf_counter()
+            try:
+                fn.lower(*args, **kwargs).compile()
+                done[label] = round(_time.perf_counter() - t0, 2)
+            except Exception as e:  # gate drift: report, keep warming
+                done[label] = -1.0
+                if verbose:
+                    print(f"warmup: {label} failed to lower: {e}")
+            if verbose and done[label] >= 0:
+                print(f"warmup: {label} compiled in {done[label]:.2f}s")
+
+        if parallel and parallel > 1:
+            with ThreadPoolExecutor(max_workers=int(parallel)) as ex:
+                list(ex.map(run_one, jobs))
+        else:
+            for job in jobs:
+                run_one(job)
+        return done
+
+    # process-wide: factorize's cold-start auto-warm runs once per job set
+    _AUTOWARM_DONE = set()
+
+    def _autowarm(self, norm_shape=None, tpm_meta=None):
+        """Cold-start auto-warm (factorize): on the TPU backend with a
+        persistent compilation cache configured, AOT-compile this run's own
+        factorize programs in PARALLEL before dispatching — the dispatch
+        loop otherwise pays each compile back-to-back (the dispatching
+        thread blocks on compilation) — and the consensus-stage programs in
+        the background so they ride under the solves. No-op when the cache
+        dir is unset (the AOT results would be unreachable by the later
+        dispatches), on non-TPU backends (local compiles are cheap), or
+        after the first run per process (warm runs must not pay AOT cache
+        loads). Opt out with CNMF_TPU_AUTOWARM=0."""
+        if os.environ.get("CNMF_TPU_AUTOWARM", "1") != "1":
+            return
+        if jax.default_backend() != "tpu":
+            return
+        if not jax.config.jax_compilation_cache_dir:
+            return
+        try:
+            jobs = self._warmup_jobs(norm_shape=norm_shape,
+                                     tpm_meta=tpm_meta)
+        except Exception:
+            return  # never fail factorize for a warm cache
+        key = tuple(sorted(j[1] for j in jobs))
+        if key in cNMF._AUTOWARM_DONE:
+            return
+        cNMF._AUTOWARM_DONE.add(key)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def compile_one(job):
+            try:
+                job[2].lower(*job[3], **job[4]).compile()
+            except Exception:
+                pass
+
+        # factorize's own programs ONLY, JOINED — the dispatches right after
+        # this hit the compilation cache instead of compiling serially.
+        # (Concurrent remote compiles overlap but each slows ~1.5-2x as the
+        # compile service is shared; 4 threads still measured a net win for
+        # the joined set. A BACKGROUND fleet for the consensus programs was
+        # measured a loss twice over: its RPCs contend with the solve
+        # dispatches on the shared channel, and a daemon compile thread
+        # alive at interpreter teardown aborts the process mid-RPC —
+        # consensus keeps compiling its own programs at first dispatch.)
+        with ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="cnmf-tpu-autowarm"
+        ) as pool:
+            list(pool.map(
+                compile_one, [j for j in jobs if j[0] == "factorize"]
+            ))
+
+    def _warmup_jobs(self, components=None, norm_shape=None, tpm_meta=None):
+        """Build the (stage, label, jit_fn, args, kwargs) job list for every
+        program the prepared run will dispatch — shared by ``warmup()`` and
+        factorize's cold-start auto-warm. Stage 'factorize' must compile
+        before the solves dispatch; stage 'consensus' (KNN density, fused
+        consensus, fused k-stats, TPM expand) can compile in the background.
+
+        ``norm_shape``/``tpm_meta``: (N, G) and (Gall, tpm_is_sparse)
+        overrides so a same-process caller with async prepare writes in
+        flight doesn't have to join them just to read shapes."""
         from jax import ShapeDtypeStruct as SDS
 
         from cnmf_tpu.io.h5ad import read_h5ad_shape, read_h5ad_x_is_sparse
@@ -1653,17 +1762,21 @@ class cNMF:
         from cnmf_tpu.ops.consensus_fused import _fused_consensus
         from cnmf_tpu.ops.kstats import _fused_k_stats
 
-        # absorb the one-time device-link setup (and its tiny convert
-        # program) here rather than on the warmed run's first fetch
-        float(jnp.zeros(()))
-
         run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
         nmf_kwargs = yaml.load(
             open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
         )
-        N, G = read_h5ad_shape(self.paths["normalized_counts"])
-        _, Gall = read_h5ad_shape(self.paths["tpm"])
-        tpm_sparse = read_h5ad_x_is_sparse(self.paths["tpm"])
+        if norm_shape is not None:
+            N, G = norm_shape
+        else:
+            self._flush_pending_write(self.paths["normalized_counts"])
+            N, G = read_h5ad_shape(self.paths["normalized_counts"])
+        if tpm_meta is not None:
+            Gall, tpm_sparse = tpm_meta
+        else:
+            self._flush_pending_write(self.paths["tpm"])
+            _, Gall = read_h5ad_shape(self.paths["tpm"])
+            tpm_sparse = read_h5ad_x_is_sparse(self.paths["tpm"])
         hvgs = open(self.paths["nmf_genes_list"]).read().split("\n")
         H = len(hvgs)
         dtype = jnp.dtype(self.compute_dtype)
@@ -1692,21 +1805,14 @@ class cNMF:
             (N, G),
         )
 
-        done = {}
+        jobs = []
+        seen = set()
 
-        def lower(label, fn, *args, **kwargs):
-            if label in done:  # e.g. two Ks sharing one density pad bucket
+        def lower(stage, label, fn, *args, **kwargs):
+            if label in seen:  # e.g. two Ks sharing one density pad bucket
                 return
-            t0 = _time.perf_counter()
-            try:
-                fn.lower(*args, **kwargs).compile()
-                done[label] = round(_time.perf_counter() - t0, 2)
-            except Exception as e:  # gate drift: report, keep warming
-                done[label] = -1.0
-                if verbose:
-                    print(f"warmup: {label} failed to lower: {e}")
-            if verbose and done[label] >= 0:
-                print(f"warmup: {label} compiled in {done[label]:.2f}s")
+            seen.add(label)
+            jobs.append((stage, label, fn, args, kwargs))
 
         # ---- same-process compact-upload programs (stash-gated) ----------
         # mirrors factorize's CNMF_TPU_DEVICE_NORM gate and the TPM
@@ -1724,7 +1830,7 @@ class cNMF:
             _, n_ints, n_cols, n_std = nstash
             if n_std.dtype == self.compute_dtype:
                 lower(
-                    "norm_from_counts", norm_from_counts,
+                    "factorize", "norm_from_counts", norm_from_counts,
                     SDS(n_ints.shape, jnp.dtype(n_ints.dtype)),
                     SDS(n_cols.shape, jnp.dtype(n_cols.dtype)),
                     SDS(n_std.shape, dtype),
@@ -1752,7 +1858,7 @@ class cNMF:
                 and derived < 0.5 * self._tpm_device_limit()
             ):
                 lower(
-                    "tpm_from_counts", tpm_from_counts,
+                    "consensus", "tpm_from_counts", tpm_from_counts,
                     SDS(t_ints.shape, jnp.dtype(t_ints.dtype)),
                     SDS(t_scale.shape, dtype),
                 )
@@ -1775,14 +1881,14 @@ class cNMF:
                 Ws, Hts = SDS((B, N, pad_k), dtype), SDS((B, G, pad_k), dtype)
                 if device_init:
                     lower(
-                        f"init_pad{pad_k}_B{B}", _gen_device_init_jit(),
+                        "factorize", f"init_pad{pad_k}_B{B}", _gen_device_init_jit(),
                         SDS((B,), jnp.dtype(jnp.uint32)), SDS((), dtype),
                         SDS((pad_k,), dtype),
                         n=N, g=G, pad_k=pad_k, dt=dtype,
                     )
                 if use_dladder and solver == "cd" and beta == 2.0:
                     lower(
-                        f"cd_ladder_pad{pad_k}_B{B}", nmf_cd_device_ladder,
+                        "factorize", f"cd_ladder_pad{pad_k}_B{B}", nmf_cd_device_ladder,
                         Xs, Ws, Hts, tol=tol, max_iter=max_iter,
                         ladder=tuple(_ladder(B, 16)),
                         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
@@ -1790,7 +1896,7 @@ class cNMF:
                     )
                 elif use_dladder:
                     lower(
-                        f"mu_ladder_pad{pad_k}_B{B}", nmf_mu_device_ladder,
+                        "factorize", f"mu_ladder_pad{pad_k}_B{B}", nmf_mu_device_ladder,
                         Xs, Ws, Hts, beta=beta, tol=tol, max_iter=max_iter,
                         ladder=tuple(_ladder(B, 16)),
                         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
@@ -1801,7 +1907,7 @@ class cNMF:
                     )
                 elif solver == "cd" and beta == 2.0:
                     lower(
-                        f"cd_segment_pad{pad_k}_B{B}", nmf_cd_segment,
+                        "factorize", f"cd_segment_pad{pad_k}_B{B}", nmf_cd_segment,
                         Xs, Ws, Hts, SDS((B,), dtype), SDS((B,), idt),
                         SDS((B,), jnp.dtype(bool)), SDS((), idt),
                         seg_len=max_iter, tol=tol, update_H=True,
@@ -1812,7 +1918,7 @@ class cNMF:
                     )
                 else:
                     lower(
-                        f"mu_batch_pad{pad_k}_B{B}", nmf_multiplicative_update,
+                        "factorize", f"mu_batch_pad{pad_k}_B{B}", nmf_multiplicative_update,
                         Xs, Ws, Hts, beta=beta, tol=tol, max_iter=max_iter,
                         update_H=True,
                         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
@@ -1831,14 +1937,14 @@ class cNMF:
 
                     jnp.zeros(B, dtype), jnp.zeros(B, jnp.int32)
                     jnp.zeros(B, bool), jnp.zeros((), jnp.int32)
-                    lower(f"swap_bg_pad{pad_k}_B{B}", _swap_bg_axes,
+                    lower("factorize", f"swap_bg_pad{pad_k}_B{B}", _swap_bg_axes,
                           SDS((B, G, pad_k), dtype))
             if pipeline_all:
                 # factorize's pack_ok also admits use_mesh=False on a
                 # multi-device host, so lower the pack regardless of
                 # device count (sub-second compile)
                 lower(
-                    f"pack_pad{pad_k}", pack_spectra_true_k,
+                    "factorize", f"pack_pad{pad_k}", pack_spectra_true_k,
                     tuple(SDS((sizes[k], pad_k, G), dtype) for k in kk),
                     ks=tuple(kk),
                 )
@@ -1862,11 +1968,11 @@ class cNMF:
             Rp = -(-R // 512) * 512
             Kp = -(-k // 8) * 8
             lower(
-                f"knn_density_R{Rp}", _knn_density_padded,
+                "consensus", f"knn_density_R{Rp}", _knn_density_padded,
                 SDS((Rp, G), dtype), SDS((), idt), SDS((), idt),
             )
             lower(
-                f"k_stats_k{k}", _fused_k_stats,
+                "consensus", f"k_stats_k{k}", _fused_k_stats,
                 SDS((N, G), dtype), SDS((Rp, G), dtype),
                 SDS((10, Kp, G), dtype), SDS((), dtype),
                 SDS((), idt), SDS((), idt), SDS((), idt),
@@ -1877,7 +1983,7 @@ class cNMF:
             )
             if use_fused:
                 lower(
-                    f"fused_consensus_k{k}", _fused_consensus,
+                    "consensus", f"fused_consensus_k{k}", _fused_consensus,
                     SDS((N, G), dtype), SDS((N, Gall), dtype),
                     SDS((Rp, G), dtype), SDS((10, Kp, G), dtype),
                     SDS((), dtype), SDS((), idt), SDS((), idt),
@@ -1891,7 +1997,7 @@ class cNMF:
                     refit_usage=True, normalize_tpm=False,
                     zero_safe_std=tpm_sparse,
                 )
-        return done
+        return jobs
 
     def factorize_multi_process(self, total_workers=None):
         """Compat shim: the batched device program replaces the reference's

@@ -132,20 +132,73 @@ def _gen_device_init(*args, **kwargs):
     return _gen_device_init_jit()(*args, **kwargs)
 
 
+def _randomized_topk_svd(X, k: int, seed):
+    """Top-k SVD via the randomized range-finder recipe sklearn's NNDSVD
+    init uses (Halko, Martinsson & Tropp 2011; reference cnmf.py:627 passes
+    init='nndsvd' into sklearn, whose ``_initialize_nmf`` calls
+    ``_randomized_svd`` with its defaults). Reproduced operation-for-
+    operation — same oversampling (k+10), same power-iteration count
+    (7 when k < 0.1·min(shape), else 4) and LU normalization, same
+    transpose heuristic, same gesdd on the projected matrix, same svd_flip
+    sign convention, same RandomState consumption — so for the same
+    per-replicate seed the init is bit-identical to the reference's
+    sklearn run. Works on dense or scipy-sparse X."""
+    import scipy.linalg as sla
+
+    rng = (seed if isinstance(seed, np.random.RandomState)
+           else np.random.RandomState(seed))
+    n_random = k + 10
+    n_iter = 7 if k < 0.1 * min(X.shape) else 4
+    transpose = X.shape[0] < X.shape[1]
+    M = X.T if transpose else X
+    Q = rng.normal(size=(M.shape[1], n_random))
+    if M.dtype == np.float32:
+        Q = Q.astype(np.float32, copy=False)
+    if n_iter <= 2:
+        def normalizer(x):
+            return x, None
+    else:
+        def normalizer(x):
+            return sla.lu(x, permute_l=True, check_finite=False)
+    for _ in range(n_iter):
+        Q, _ = normalizer(M @ Q)
+        Q, _ = normalizer(M.T @ Q)
+    Q, _ = sla.qr(M @ Q, mode="economic", check_finite=False)
+    B = Q.T @ M
+    if sp.issparse(B):
+        B = np.asarray(B.todense())
+    Uhat, s, Vt = sla.svd(np.asarray(B), full_matrices=False,
+                          lapack_driver="gesdd")
+    del B
+    U = Q @ Uhat
+    # svd_flip: u-based unless transposed (sklearn keeps sign(0) == 0)
+    if not transpose:
+        max_abs = np.argmax(np.abs(U), axis=0)
+        signs = np.sign(U[max_abs, np.arange(U.shape[1])])
+    else:
+        max_abs = np.argmax(np.abs(Vt), axis=1)
+        signs = np.sign(Vt[np.arange(Vt.shape[0]), max_abs])
+    U = U * signs[None, :]
+    Vt = Vt * signs[:, None]
+    if transpose:
+        return Vt[:k, :].T, s[:k], U[:, :k].T
+    return U[:, :k], s[:k], Vt[:k, :]
+
+
 def nndsvd_init(X, n_components: int, eps: float = 1e-6, dtype=np.float32,
                 variant: str = "nndsvd", seed=None):
-    """NNDSVD init from the top-K SVD (sklearn _initialize_nmf semantics).
+    """NNDSVD init (sklearn _initialize_nmf semantics, randomized top-K
+    SVD seeded per replicate — so restarts differ exactly as the
+    reference's sklearn runs do).
 
     variant: 'nndsvd' | 'nndsvda' (zeros → X.mean()) | 'nndsvdar'.
     """
-    Xd = X.toarray() if sp.issparse(X) else np.asarray(X)
-    n = min(Xd.shape)
+    n = min(X.shape)
     if n_components > n:
         raise ValueError(
             f"nndsvd requires n_components <= min(X.shape) (= {n})"
         )
-    U, S, V = np.linalg.svd(Xd, full_matrices=False)
-    U, S, V = U[:, :n_components], S[:n_components], V[:n_components]
+    U, S, V = _randomized_topk_svd(X, n_components, seed)
 
     W = np.zeros_like(U)
     H = np.zeros_like(V)

@@ -1438,11 +1438,17 @@ class cNMF:
         if init == "random":
             W0, Ht0 = random_init_batch(X_host, k, seeds, dtype=dtype)
         elif init in ("nndsvd", "nndsvda", "nndsvdar"):
-            W_s, H_s = nndsvd_init(X_host, k, dtype=dtype, variant=init)
-            W0 = np.broadcast_to(W_s[None], (len(seeds),) + W_s.shape).copy()
-            Ht0 = np.broadcast_to(
-                H_s.T[None], (len(seeds),) + H_s.T.shape
-            ).copy()
+            # per-replicate seeds: sklearn's nndsvd runs a SEEDED randomized
+            # SVD, so the reference's restarts genuinely differ — one init
+            # per seed, not a broadcast (reference cnmf.py:738 sets each
+            # run's random_state)
+            inits = [
+                nndsvd_init(X_host, k, dtype=dtype, variant=init,
+                            seed=int(s))
+                for s in seeds
+            ]
+            W0 = np.stack([w for w, _ in inits])
+            Ht0 = np.stack([np.ascontiguousarray(h.T) for _, h in inits])
         else:
             raise ValueError(f"unsupported init: {init}")
         if pad_k > k:
@@ -2030,7 +2036,8 @@ class cNMF:
         if init == "random":
             W0, H0 = random_init(X, k, seed, dtype=self.compute_dtype)
         else:
-            W0, H0 = nndsvd_init(X, k, dtype=self.compute_dtype, variant=init)
+            W0, H0 = nndsvd_init(X, k, dtype=self.compute_dtype,
+                                 variant=init, seed=seed)
         W, Ht, _ = solve_nmf_batch(
             jnp.asarray(X), jnp.asarray(W0[None]),
             jnp.asarray(np.ascontiguousarray(H0.T)[None]), kwargs,

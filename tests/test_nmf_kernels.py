@@ -121,6 +121,30 @@ def test_nnls_mu_matches_sklearn():
     assert np.max(np.abs(np.asarray(W) - W_sk)) / max(W_sk.max(), 1.0) < 1e-5
 
 
+def test_nndsvd_matches_sklearn_bitwise():
+    """nndsvd_init must be BIT-identical to sklearn's _initialize_nmf for
+    the same seed: the reference passes init='nndsvd' straight into sklearn
+    (reference cnmf.py:627), whose top-K SVD is the SEEDED randomized
+    range-finder — so per-replicate inits genuinely differ, and our
+    _randomized_topk_svd reproduces the recipe operation-for-operation
+    (oversampling, power iterations, LU normalization, transpose heuristic,
+    gesdd, svd_flip, RandomState consumption)."""
+    from sklearn.decomposition._nmf import _initialize_nmf
+
+    rng = np.random.RandomState(0)
+    wide = np.abs(rng.randn(80, 120))   # transpose branch (rows < cols)
+    tall = np.abs(rng.randn(150, 60))   # no-transpose branch
+    for X in (wide, tall):
+        for variant in ("nndsvd", "nndsvda", "nndsvdar"):
+            for seed in (3, 14):
+                Wr, Hr = _initialize_nmf(X, 5, init=variant,
+                                         random_state=seed)
+                W, H = nndsvd_init(X, 5, dtype=np.float64, variant=variant,
+                                   seed=seed)
+                np.testing.assert_array_equal(W, Wr)
+                np.testing.assert_array_equal(H, Hr)
+
+
 def test_nndsvd_init_reconstruction():
     X = make_counts(30, 20, seed=7)
     W, H = nndsvd_init(X, 4, dtype=np.float64)

@@ -195,6 +195,39 @@ def test_kl_factorize_matches_reference(ref, tmp_path):
         assert rel < SSE_TOL, f"KL iter {it}: relative SSE {rel}"
 
 
+def test_nndsvd_factorize_matches_reference(ref, tmp_path):
+    """init='nndsvd' against the live reference: sklearn's nndsvd uses a
+    SEEDED randomized SVD, so restarts differ per replicate — the inits
+    must match bit-for-bit and the CD solves to solver tolerance."""
+    rng = np.random.RandomState(21)
+    W = rng.gamma(0.7, 1.0, size=(100, 4))
+    H = rng.gamma(0.5, 1.0, size=(4, 150)) * (rng.rand(4, 150) < 0.4)
+    X = rng.poisson(W @ H * 2.0).astype(np.float64)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(X, index=[f"c{i}" for i in range(100)],
+                      columns=[f"g{j}" for j in range(150)])
+    counts_fn = str(tmp_path / "counts.df.npz")
+    save_df_to_npz(df, counts_fn)
+    cfg = dict(components=[4], n_iter=3, seed=11, num_highvar_genes=90,
+               init="nndsvd", max_NMF_iter=300)
+
+    a = ref.cNMF(output_dir=str(tmp_path), name="ref_nnd")
+    a.prepare(counts_fn=counts_fn, **cfg)
+    a.factorize(worker_i=0, total_workers=1)
+
+    b = cNMF(output_dir=str(tmp_path), name="tpu_nnd",
+             compute_dtype=np.float64)
+    b.prepare(counts_fn=counts_fn, **cfg)
+    b.factorize(verbose=False, use_mesh=False)
+
+    for it in range(3):
+        sa = load_df_from_npz(a.paths["iter_spectra"] % (4, it)).values
+        sb = load_df_from_npz(b.paths["iter_spectra"] % (4, it)).values
+        sse = float(((sa - sb) ** 2).sum())
+        rel = sse / float((sa ** 2).sum())
+        assert rel < SSE_TOL, f"nndsvd iter {it}: relative SSE {rel}"
+
+
 def test_k_selection_stats_match(runs):
     a, b = runs
     sa = a.consensus(k=5, skip_density_and_return_after_stats=True,

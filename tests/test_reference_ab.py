@@ -341,6 +341,30 @@ def test_sparse_h5ad_input_matches_reference(ref, tmp_path):
         assert rel < SSE_TOL, f"sparse {key}: relative SSE {rel}"
 
 
+def test_k_selection_plot_matches_reference(runs):
+    """The full k_selection_plot command on both pipelines (reference
+    cnmf.py:1119-1158): same stats table (k, dt-forced-'2', silhouette,
+    prediction error) in the same npz artifact, PNG written."""
+    import matplotlib.pyplot as plt
+
+    a, b = runs
+    a.k_selection_plot()
+    plt.close("all")
+    b.k_selection_plot(close_fig=True)
+    sa = load_df_from_npz(a.paths["k_selection_stats"])
+    sb = load_df_from_npz(b.paths["k_selection_stats"])
+    assert list(sa.columns) == list(sb.columns)
+    va = sa.values.astype(np.float64)
+    vb = sb.values.astype(np.float64)
+    np.testing.assert_allclose(va[:, :2], vb[:, :2])          # k, threshold
+    np.testing.assert_allclose(va[:, 2], vb[:, 2], rtol=1e-4)  # silhouette
+    np.testing.assert_allclose(va[:, 3], vb[:, 3], rtol=1e-4)  # pred error
+    import os
+
+    assert os.path.exists(a.paths["k_selection_plot"])
+    assert os.path.exists(b.paths["k_selection_plot"])
+
+
 def test_load_results_matches_reference(runs):
     """load_results (reference cnmf.py:1161-1210): same top-gene tables,
     normalized usages and transposed spectra from the same artifacts."""

@@ -464,6 +464,13 @@ def main():
             "value": round(total, 2),
             "unit": "s",
             "vs_baseline": round(baseline_s / total, 2),
+            # round-3-comparable figure (prepare joined the headline in
+            # round 4; prepare is also the most host-window-sensitive
+            # stage — its bench draws swing 2-8 s with IO writeback
+            # pressure from the surrounding stages)
+            "value_excl_prepare": round(
+                min(r["total"] - r["prepare"] for r in runs), 2
+            ),
             "value_cold": round(t_link + runs[0]["total"], 2),
             "mfu": round(mfu, 4) if mfu is not None else None,
             "mfu_device_executed": (

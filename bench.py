@@ -306,6 +306,12 @@ def _run_kl_once(workdir, name, counts_fn, k, n_iter, hvg):
 
 
 def main():
+    # stdout is the driver's contract: exactly ONE JSON line. The pipeline
+    # itself prints reference-parity progress messages ("Combining
+    # factorizations for k=..") to stdout, so the whole measured region runs
+    # with stdout rerouted to stderr; only the final JSON hits the real fd.
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
     smoke = "--smoke" in sys.argv
     # 'high' = 3-pass bf16 matmuls: measured A/B vs 'highest' (6-pass) on this
     # workload leaves every consensus artifact within 8.5e-6 relative
@@ -495,7 +501,8 @@ def main():
             # compiled = fresh XLA compiles, loaded_from_cache = persistent-
             # cache executable loads (the fresh-process warm-start cost)
             "programs_run1": programs_run1,
-        }))
+        }), file=real_stdout)
+        real_stdout.flush()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

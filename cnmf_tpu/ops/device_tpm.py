@@ -22,6 +22,9 @@ tolerance. `CNMF_TPU_DEVICE_TPM=0` restores the bit-identical float upload.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import numpy as np
 
 import jax
@@ -108,6 +111,103 @@ def norm_column_spec(counts_var_index, hvg_index, ints, dtype):
     if not np.isfinite(std).all() or (std == 0).any():
         return None  # degenerate genes: keep the exact float path
     return cols, std.astype(dtype)
+
+
+# --- CSR-compact integer upload ---------------------------------------------
+# The integer image is itself mostly zeros on real scRNA data (raw counts are
+# 80-95% zero), so the link bytes shrink again by shipping CSR components
+# (uint8/int16 data + int16 cols when the gene axis fits) and scattering into
+# the dense integer image ON DEVICE — the same trick ops/device_densify plays
+# for float uploads of sparse inputs, applied to the compact counts image.
+# Bit-identical to the dense upload: one canonical entry per coordinate,
+# scatter-ADD into zeros. Gate: CNMF_TPU_CSR_UPLOAD ('1' default, TPU backend
+# only — on CPU there is no link to save; 'force' for tests; '0' off).
+
+# pad nnz to this bucket so similarly-filled images reuse one compiled
+# scatter program; small enough that the pad overhead stays under ~1.6 MB
+_CSR_NNZ_BUCKET = 1 << 19
+
+
+def int_image_csr(ints: np.ndarray):
+    """CSR components ``(data, cols, indptr)`` of a dense integer image with
+    the narrowest column dtype, or None when shipping them (including the nnz
+    pad bucket) would not beat the dense bytes. Built once at prepare-stash
+    time — factorize's upload moment stays host-light."""
+    n, g = ints.shape
+    # gate on count_nonzero FIRST (~20 ms at 27M elements) so a declined
+    # image — e.g. anything over ~17% fill — never pays the flatnonzero +
+    # gather passes (~0.5-0.9 s at that size) inside prepare's wall
+    nnz = int(np.count_nonzero(ints))
+    col_dtype = np.int16 if g <= np.iinfo(np.int16).max else np.int32
+    padded = nnz + ((-nnz) % _CSR_NNZ_BUCKET)
+    csr_bytes = (
+        padded * (ints.dtype.itemsize + np.dtype(col_dtype).itemsize)
+        + (n + 1) * 4
+    )
+    # measured break-even on the relay link (2700×10000 uint8): at a 0.65
+    # byte ratio the densify program eats the saving (0.451 s vs 0.428 s
+    # dense); at 0.18 it wins 2.5x (0.128 s vs 0.317 s). Gate at half.
+    if csr_bytes >= 0.5 * ints.nbytes:
+        return None
+    flat = np.flatnonzero(ints.ravel())
+    data = ints.ravel()[flat]
+    cols = (flat % g).astype(col_dtype)
+    indptr = np.zeros(n + 1, dtype=np.int32)
+    # row-major flatnonzero → canonical CSR; stash budget keeps nnz < 2^31
+    indptr[1:] = np.cumsum(np.bincount(flat // g, minlength=n))
+    return data, cols, indptr
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_cols"))
+def _densify_int_csr(data, cols, indptr, n_rows: int, n_cols: int):
+    # row ids by scatter-marks + cumsum, NOT searchsorted: XLA's searchsorted
+    # binary-searches per element (measured 1.1 s for 6.3M lookups on this
+    # chip; the whole cumsum-form program incl. the scatter runs ~0.05 s). Each indptr[1:] value marks where
+    # the next row starts; empty rows stack multiple marks on one position
+    # (scatter-ADD), and the running sum recovers the row of every entry.
+    # Padded tail positions (>= indptr[-1]) accumulate row ids past n_rows
+    # and are dropped — their data is 0 regardless, so even a kept add would
+    # be a no-op.
+    nnz = data.shape[0]
+    marks = jnp.zeros((nnz,), jnp.int32).at[indptr[1:]].add(1, mode="drop")
+    rows = jnp.cumsum(marks)
+    dense = jnp.zeros((n_rows, n_cols), dtype=data.dtype)
+    return dense.at[rows, cols.astype(jnp.int32)].add(
+        data, mode="drop", indices_are_sorted=True
+    )
+
+
+def csr_upload_enabled() -> bool:
+    env = os.environ.get("CNMF_TPU_CSR_UPLOAD", "1")
+    if env == "force":
+        return True
+    return env == "1" and jax.default_backend() == "tpu"
+
+
+# sentinel: "no pre-built components — compute them here if enabled";
+# an explicit None means a prior int_image_csr already said not-a-byte-win
+_COMPUTE_CSR = object()
+
+
+def upload_int_image(ints: np.ndarray, csr=_COMPUTE_CSR):
+    """Device dense copy of ``ints`` — via CSR components when that moves
+    fewer bytes over the link, else the plain dense transfer. Returns
+    ``(device_array, link_bytes)``; the device value is bit-identical to
+    ``jnp.asarray(ints)`` either way."""
+    if csr is _COMPUTE_CSR:
+        csr = int_image_csr(ints) if csr_upload_enabled() else None
+    if csr is not None and csr_upload_enabled():
+        data, cols, indptr = csr
+        pad = (-data.shape[0]) % _CSR_NNZ_BUCKET
+        if pad:
+            data = np.concatenate([data, np.zeros(pad, dtype=data.dtype)])
+            cols = np.concatenate([cols, np.zeros(pad, dtype=cols.dtype)])
+        dense = _densify_int_csr(
+            jnp.asarray(data), jnp.asarray(cols), jnp.asarray(indptr),
+            int(ints.shape[0]), int(ints.shape[1]),
+        )
+        return dense, data.nbytes + cols.nbytes + indptr.nbytes
+    return jnp.asarray(ints), ints.nbytes
 
 
 @jax.jit

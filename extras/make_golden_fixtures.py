@@ -1,8 +1,16 @@
 #!/usr/bin/env python
 """Generate golden regression fixtures (counterpart of the reference's
-Extras/prepare_unittest_simulation.ipynb): run the pipeline on simulated data
-in float64 on CPU and store the merged spectra + consensus outputs that
+Extras/prepare_unittest_simulation.ipynb): run prepare on simulated data in
+float64 on CPU, factorize every (K, iter, seed) replicate with **sklearn's
+``non_negative_factorization`` itself** — NOT this repo's solver — then run
+combine + consensus and store the merged spectra + consensus outputs that
 tests/test_golden.py replays and compares at SSE < 1e-4.
+
+Anchoring the merged spectra outside the codebase (the reference's own
+strategy, test_reproducibility.py:85-89) means the committed goldens cannot
+ratify a systematic deviation of this repo's solver: the consensus goldens
+derive from sklearn-produced factors, and test_golden.py's live-factorize
+test is a true pipeline-level sklearn parity check.
 
 Run from the repo root:  python extras/make_golden_fixtures.py
 """
@@ -36,6 +44,37 @@ CONFIG = dict(n_cells=300, n_genes=400, n_identities=5, n_activities=1,
 PREPARE = dict(components=[K], n_iter=10, seed=14, num_highvar_genes=200)
 
 
+def sklearn_factorize(obj):
+    """Write every per-iteration spectra file with sklearn's NMF (the engine
+    the reference's factorize calls, reference cnmf.py:661-674) driven by the
+    run's own on-disk contract: the replicate seed grid + YAML solver kwargs
+    prepare wrote. Zero repo solver code touches the factors."""
+    import pandas as pd
+    import yaml
+    from sklearn.decomposition import non_negative_factorization
+
+    from cnmf_tpu.io.h5ad import read_h5ad
+
+    params = load_df_from_npz(obj.paths["nmf_replicate_parameters"])
+    kwargs = yaml.load(
+        open(obj.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
+    )
+    norm = read_h5ad(obj.paths["normalized_counts"])
+    X = norm.X
+    if hasattr(X, "toarray"):
+        X = X.toarray()
+    X = np.asarray(X, dtype=np.float64)
+    genes = norm.var.index
+    for row in params.itertuples():
+        k, it = int(row.n_components), int(row.iter)
+        run_kwargs = dict(kwargs)
+        run_kwargs["n_components"] = k
+        run_kwargs["random_state"] = int(row.nmf_seed)
+        _w, h, _n = non_negative_factorization(X, **run_kwargs)
+        spectra = pd.DataFrame(h, index=np.arange(1, k + 1), columns=genes)
+        save_df_to_npz(spectra, obj.paths["iter_spectra"] % (k, it))
+
+
 def main():
     import tempfile
 
@@ -47,7 +86,7 @@ def main():
 
     obj = cNMF(output_dir=workdir, name="golden", compute_dtype=np.float64)
     obj.prepare(counts_fn=counts_fn, **PREPARE)
-    obj.factorize(verbose=False)
+    sklearn_factorize(obj)
     obj.combine()
     obj.consensus(k=K, density_threshold=0.5, show_clustering=False)
 

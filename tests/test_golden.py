@@ -3,6 +3,13 @@ tests/test_reproducibility.py:85-115): copy the stored merged spectra into a
 fresh run — isolating consensus from factorize nondeterminism — run
 consensus, and compare every artifact to the goldens at SSE < 1e-4.
 
+The committed goldens are anchored OUTSIDE this codebase: their merged
+spectra were produced by sklearn's ``non_negative_factorization`` directly
+(extras/make_golden_fixtures.py::sklearn_factorize), so these comparisons
+cannot ratify a systematic deviation of the repo's own solver, and
+``test_factorize_reproduces_golden_merged`` below is a pipeline-level
+sklearn parity check.
+
 Regenerate with: python extras/make_golden_fixtures.py
 """
 

@@ -62,7 +62,10 @@ def compact_integer_counts(X) -> np.ndarray | None:
         return None
     if X.size * np.dtype(dtype).itemsize > _MAX_STASH_BYTES:
         return None
-    ints = X.astype(dtype)
+    # input already at the minimal dtype: alias it — the stash is read-only
+    # and an astype would first-touch a fresh 27-54 MB copy inside prepare's
+    # wall for identical values
+    ints = X if X.dtype == np.dtype(dtype) else X.astype(dtype)
     if X.dtype.kind == "f" and not np.array_equal(ints, X):
         return None  # non-integral values
     return ints
@@ -91,7 +94,7 @@ def device_tpm_from_counts(ints: np.ndarray, scale: np.ndarray):
     return tpm_from_counts(jnp.asarray(ints), jnp.asarray(scale))
 
 
-def norm_column_spec(counts_var_index, hvg_index, ints, dtype):
+def norm_column_spec(counts_var_index, hvg_index, ints, dtype, std=None):
     """(cols int32, std) mapping the HVG subset into the integer counts for
     ``norm_from_counts``, or None when the gene names don't map uniquely or
     the per-gene std is degenerate.
@@ -100,15 +103,19 @@ def norm_column_spec(counts_var_index, hvg_index, ints, dtype):
     .scale_unit_variance`` (ddof=1, NO zero guard — reference cnmf.py:542
     divides unguarded) over the float64 cast of the SUBSET counts — the
     exact divisor prepare's norm_counts used, since the integer image equals
-    the counts bit-for-bit."""
+    the counts bit-for-bit. Callers that already hold that divisor (prepare
+    computed it to scale norm_counts) pass it in and skip the subset + std
+    recompute pass here."""
     if not counts_var_index.is_unique:
         return None
     cols = counts_var_index.get_indexer(hvg_index)
     if (cols < 0).any():
         return None
     cols = cols.astype(np.int32)
-    std = ints[:, cols].astype(np.float64).std(axis=0, ddof=1)
-    if not np.isfinite(std).all() or (std == 0).any():
+    if std is None:
+        std = ints[:, cols].astype(np.float64).std(axis=0, ddof=1)
+    std = np.asarray(std, dtype=np.float64)
+    if std.shape != cols.shape or not np.isfinite(std).all() or (std == 0).any():
         return None  # degenerate genes: keep the exact float path
     return cols, std.astype(dtype)
 

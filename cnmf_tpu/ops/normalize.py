@@ -74,12 +74,18 @@ def normalize_total(X, target_sum: float = 1e6):
 
 
 
-def scale_unit_variance(X, ddof: int = 1, zero_safe: bool = True):
+def scale_unit_variance(X, ddof: int = 1, zero_safe: bool = True,
+                        return_std: bool = False):
     """Divide each column by its std (no centering).
 
     ``zero_safe`` maps std==0 → 1 (scanpy pp.scale semantics used on the
     reference's sparse path, cnmf.py:538); the dense reference path divides
     unguarded (cnmf.py:542) — pass zero_safe=False to reproduce it.
+
+    ``return_std`` returns ``(scaled, std)`` with the RAW (pre-guard) std —
+    the divisor before any zero_safe mapping — so callers that need the
+    per-column std again (prepare's device-norm stash) skip a second full
+    pass over the matrix.
     """
     if sp.issparse(X):
         n = X.shape[0]
@@ -87,6 +93,7 @@ def scale_unit_variance(X, ddof: int = 1, zero_safe: bool = True):
         sq = np.asarray(X.multiply(X).mean(axis=0)).ravel()
         var = (sq - mean**2) * n / max(n - ddof, 1)
         std = np.sqrt(var)
+        raw_std = std.copy()
         if zero_safe:
             std[std == 0] = 1.0
         inv = (np.divide(1.0, std, out=np.zeros_like(std), where=std != 0)
@@ -104,11 +111,13 @@ def scale_unit_variance(X, ddof: int = 1, zero_safe: bool = True):
             )
         except (ImportError, AttributeError):
             out.data *= inv[out.indices]
-        return out
+        return (out, raw_std) if return_std else out
     X = np.asarray(X)
     std = X.std(axis=0, ddof=ddof)
+    raw_std = std
     if zero_safe:
         std = np.where(std == 0, 1.0, std)
-    return X / std
+    out = X / std
+    return (out, raw_std) if return_std else out
 
 

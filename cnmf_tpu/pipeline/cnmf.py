@@ -415,7 +415,8 @@ class cNMF:
 
         ints = tstash[1]
         spec = norm_column_spec(
-            counts_var_index, norm_adata.var.index, ints, self.compute_dtype
+            counts_var_index, norm_adata.var.index, ints, self.compute_dtype,
+            std=getattr(self, "_norm_scale_std", None),
         )
         if spec is None:
             return
@@ -631,6 +632,7 @@ class cNMF:
         self._tpm_compact = None  # a prior run's stash must never leak
         self._norm_compact = None
         self._ints_csr = None
+        self._norm_scale_std = None
         if tpm_fn is None:
             with stage_timer("prepare.tpm"):
                 tpm = AnnData(
@@ -723,9 +725,13 @@ class cNMF:
         # the reference only guards zero-std divisions on its sparse path
         # (scanpy pp.scale) and divides unguarded when dense — preserved
         sparse_input = sp.issparse(tpm.X)
-        norm_counts.X = scale_unit_variance(
-            norm_counts.X.astype(np.float64), ddof=1, zero_safe=sparse_input
+        norm_counts.X, hvg_std = scale_unit_variance(
+            norm_counts.X.astype(np.float64), ddof=1, zero_safe=sparse_input,
+            return_std=True,
         )
+        # the raw per-HVG std IS the divisor the device-norm derive needs —
+        # retain it so _stash_norm_compact skips a second subset+std pass
+        self._norm_scale_std = None if sparse_input else hvg_std
         values = norm_counts.X.data if sparse_input else norm_counts.X
         if np.isnan(values).any():
             print("Warning NaNs in normalized counts matrix")

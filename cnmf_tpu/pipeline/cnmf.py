@@ -69,6 +69,7 @@ from cnmf_tpu.pipeline.solvers import (
     refit_usages,
     solve_nmf_batch,
     solve_nmf_batch_ladder,
+    solve_nmf_batch_ladder_seeded,
     solve_nmf_sharded_device,
     solve_nmf_batch_sharded,
     solve_nmf_grid,
@@ -1546,6 +1547,14 @@ class cNMF:
             self._x_mean_for_init(X_host, dtype)
             if (device_init or sharded_device_path) else None
         )
+        # single-device twin of the sharded path: init + ladder fused into
+        # one program (solvers._seeded_ladder) — one compile per pad bucket
+        # cold, one dispatch per K warm, identical factors
+        seeded_single = (
+            device_init
+            and device_ladder_enabled()
+            and os.environ.get("CNMF_TPU_COMPACT", "0") != "1"
+        )
 
         out = []
         for start in range(0, B, chunk):
@@ -1558,13 +1567,19 @@ class cNMF:
                     mesh, Xd, chunk_seeds, x_mean, k, pad_k, nmf_kwargs
                 )
                 W = Ht = None
+            elif seeded_single:
+                _t1 = _time.perf_counter()
+                Hs_ladder, n_iter, ladder_exec = solve_nmf_batch_ladder_seeded(
+                    Xd, chunk_seeds, x_mean, k, pad_k, nmf_kwargs
+                )
+                W = Ht = None
             else:
                 W0, Ht0 = self._build_restart_init(
                     X_host, k, chunk_seeds, init, pad_k, device_init, x_mean,
                     dtype,
                 )
                 _t1 = _time.perf_counter()
-            if sharded_device_path:
+            if sharded_device_path or seeded_single:
                 pass
             elif multi_device:
                 # beta != 2 solves run under shard_map over the restart axis
@@ -1804,6 +1819,7 @@ class cNMF:
         )
         from cnmf_tpu.ops.consensus_fused import _fused_consensus
         from cnmf_tpu.ops.kstats import _fused_k_stats
+        from cnmf_tpu.pipeline.solvers import _seeded_ladder
 
         run_params = load_df_from_npz(self.paths["nmf_replicate_parameters"])
         nmf_kwargs = yaml.load(
@@ -1939,14 +1955,34 @@ class cNMF:
             Bs = sorted({sizes[k] for k in kk})
             for B in Bs:
                 Ws, Hts = SDS((B, N, pad_k), dtype), SDS((B, G, pad_k), dtype)
-                if device_init:
+                if device_init and not use_dladder:
                     lower(
                         "factorize", f"init_pad{pad_k}_B{B}", _gen_device_init_jit(),
                         SDS((B,), jnp.dtype(jnp.uint32)), SDS((), dtype),
                         SDS((pad_k,), dtype),
                         n=N, g=G, pad_k=pad_k, dt=dtype,
                     )
-                if use_dladder and solver == "cd" and beta == 2.0:
+                if use_dladder and device_init:
+                    # init + ladder fused into one program
+                    # (solvers._seeded_ladder) — mirrors _factorize_one_k's
+                    # seeded_single path
+                    lower(
+                        "factorize", f"seeded_ladder_pad{pad_k}_B{B}",
+                        _seeded_ladder,
+                        Xs, SDS((B,), jnp.dtype(jnp.uint32)),
+                        SDS((), dtype), SDS((pad_k,), dtype),
+                        pad_k=pad_k, solver=solver, beta=beta,
+                        tol=tol, max_iter=max_iter,
+                        ladder=tuple(_ladder(B, 16)),
+                        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+                        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+                        mu_chunk=8,
+                        use_pallas=(
+                            solver != "cd"
+                            and mu_pallas_eligible(beta, dtype, shape=(N, G))
+                        ),
+                    )
+                elif use_dladder and solver == "cd" and beta == 2.0:
                     lower(
                         "factorize", f"cd_ladder_pad{pad_k}_B{B}", nmf_cd_device_ladder,
                         Xs, Ws, Hts, tol=tol, max_iter=max_iter,

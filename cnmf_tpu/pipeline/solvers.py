@@ -390,6 +390,88 @@ def solve_nmf_batch_ladder(X, W0, Ht0, nmf_kwargs: dict,
     return spec, n_iter, (ladder, stage_sweeps)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pad_k", "solver", "beta", "tol", "max_iter", "ladder",
+        "l1_reg_W", "l1_reg_H", "l2_reg_W", "l2_reg_H",
+        "mu_chunk", "use_pallas",
+    ),
+)
+def _seeded_ladder(
+    X, seeds, avg, kmask, *, pad_k, solver, beta, tol, max_iter, ladder,
+    l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H, mu_chunk, use_pallas,
+):
+    """Device init + ladder as ONE program (single-device twin of
+    solve_nmf_sharded_device's local body): the threefry init draw and the
+    tail-compacted solve trace into a single XLA executable, so a cold
+    start compiles one program per pad bucket instead of two (the separate
+    init programs were ~5 s of the ~36 s remote-compile wall) and the warm
+    path saves a dispatch + the W0/Ht0 HBM round trip per K. K enters only
+    through the traced ``avg``/``kmask`` operands — every K in a pad bucket
+    shares this one program."""
+    from cnmf_tpu.ops.init import draw_init_batch
+
+    n, g = X.shape
+    W0, Ht0 = draw_init_batch(
+        seeds, avg, kmask, n=n, g=g, pad_k=pad_k, dt=X.dtype
+    )
+    if solver == "cd":
+        return nmf_cd_device_ladder(
+            X, W0, Ht0, tol=tol, max_iter=max_iter, ladder=ladder,
+            l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+            l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+        )
+    return nmf_mu_device_ladder(
+        X, W0, Ht0, beta=beta, tol=tol, max_iter=max_iter, ladder=ladder,
+        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+        chunk=mu_chunk, use_pallas=use_pallas,
+    )
+
+
+def solve_nmf_batch_ladder_seeded(
+    X, seeds, x_mean: float, k: int, pad_k: int, nmf_kwargs: dict,
+    min_bucket: int = 16, mu_chunk: int = 8, allow_pallas: bool = True,
+):
+    """Single-device factorize with on-device init fused into the ladder:
+    only the replicate seed vector crosses the host link and the whole
+    (init → shrinking-batch solve) chain is one dispatch. Same return
+    contract as ``solve_nmf_batch_ladder``; factors are bit-identical to
+    drawing the init in its own program first (the draw is elementwise and
+    seed-keyed — see ops.init.draw_init_batch)."""
+    solver = nmf_kwargs.get("solver", "cd")
+    beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+    if solver == "cd" and beta != 2.0:
+        raise ValueError("CD solver supports frobenius loss only")
+    l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H = compute_regularization(
+        float(nmf_kwargs.get("alpha_W", 0.0)),
+        nmf_kwargs.get("alpha_H", "same"),
+        float(nmf_kwargs.get("l1_ratio", 0.0)),
+        X.shape,
+    )
+    ladder = tuple(_ladder(len(seeds), min_bucket))
+    dtype = jnp.dtype(X.dtype)
+    avg = np.dtype(dtype).type(np.sqrt(x_mean / k))
+    kmask = (np.arange(pad_k) < k).astype(dtype)
+    use_pallas = (
+        allow_pallas and solver != "cd"
+        and mu_pallas_eligible(beta, dtype, shape=X.shape)
+    )
+    spec, n_iter, stage_sweeps = _seeded_ladder(
+        X, jnp.asarray(np.asarray(seeds, dtype=np.uint32)),
+        jnp.asarray(avg, dtype=dtype), jnp.asarray(kmask),
+        pad_k=pad_k, solver=solver, beta=beta,
+        tol=float(nmf_kwargs.get("tol", 1e-4)),
+        max_iter=int(nmf_kwargs.get("max_iter", 200)),
+        ladder=ladder,
+        l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+        l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+        mu_chunk=mu_chunk, use_pallas=use_pallas,
+    )
+    return spec, n_iter, (ladder, stage_sweeps)
+
+
 def solve_nmf_staged(X, inits, nmf_kwargs: dict,
                      s0: int = 250, seg_len: int = 125,
                      min_bucket: int = 32):

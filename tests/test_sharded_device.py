@@ -64,6 +64,38 @@ def test_sharded_solver_matches_plain_cd(force_device_paths):
     assert float(np.asarray(stage_sweeps).sum()) >= float(n_iter.max())
 
 
+def test_seeded_single_device_matches_plain_cd(force_device_paths):
+    """The single-device fused init+ladder program (round-4 cold-start work,
+    pipeline/solvers._seeded_ladder) reproduces the plain batched CD solver
+    bit-for-bit from the same seeds at f64 — same contract as the sharded
+    twin above."""
+    from cnmf_tpu.ops.init import random_init_batch_device
+    from cnmf_tpu.ops.nmf import nmf_coordinate_descent
+    from cnmf_tpu.pipeline.solvers import solve_nmf_batch_ladder_seeded
+
+    rng = np.random.RandomState(6)
+    N, G, k, pad_k, B = 80, 60, 6, 8, 20
+    X = np.abs(rng.randn(N, G)).astype(np.float64)
+    seeds = rng.randint(1, 2**31 - 1, size=B)
+    x_mean = float(X.mean())
+    kwargs = {"solver": "cd", "beta_loss": "frobenius", "tol": 1e-4,
+              "max_iter": 150}
+
+    spec, n_iter, (ladder, stage_sweeps) = solve_nmf_batch_ladder_seeded(
+        jax.numpy.asarray(X), seeds, x_mean, k, pad_k, kwargs
+    )
+    W0, Ht0 = random_init_batch_device(x_mean, N, G, k, seeds, pad_k=pad_k,
+                                       dtype=np.float64)
+    _, Ht_p, n_p = nmf_coordinate_descent(
+        jax.numpy.asarray(X), W0, Ht0, tol=1e-4, max_iter=150
+    )
+    np.testing.assert_array_equal(np.asarray(n_iter), np.asarray(n_p))
+    np.testing.assert_array_equal(
+        np.asarray(spec), np.swapaxes(np.asarray(Ht_p), 1, 2)
+    )
+    assert len(np.asarray(stage_sweeps)) == len(ladder)
+
+
 def test_mesh_factorize_matches_single_device(force_device_paths, tmp_path):
     rng = np.random.RandomState(12)
     W = rng.gamma(0.7, 1.0, size=(130, 5))

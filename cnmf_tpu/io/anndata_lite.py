@@ -128,6 +128,15 @@ class AnnData:
     def var_names(self) -> pd.Index:
         return self.var.index
 
+    def var_names_make_unique(self, join: str = "-") -> None:
+        """Deduplicate gene names in place ('-1', '-2', ... suffixes —
+        anndata/scanpy semantics, shared helper with the 10x loader)."""
+        from cnmf_tpu.io.tenx import _make_index_unique
+
+        if not self.var.index.is_unique:
+            self.var = self.var.copy()
+            self.var.index = _make_index_unique(self.var.index, join=join)
+
     def copy(self) -> "AnnData":
         return AnnData(
             self.X.copy(),

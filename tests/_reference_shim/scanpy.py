@@ -7,6 +7,14 @@ symbols: ``read``, ``write``, ``AnnData``, ``read_10x_mtx``,
 missing dependency between the reference and a live A/B — so the A/B test
 (tests/test_reference_ab.py) puts this module on sys.path as ``scanpy``.
 
+The reference Preprocess layer (reference preprocess.py) additionally uses
+``pp.filter_genes`` / ``pp.filter_cells`` (and normalize_total's ``copy``
+kwarg) on its harmony-free paths — provided below so
+tests/test_reference_ab_preprocess.py can A/B filter_adata and
+preprocess_for_cnmf live (the seurat_v3-HVG and harmonypy calls still need
+packages this environment cannot install; those paths are covered by the
+independent oracles instead).
+
 Scope rules:
 * IO (read/write/AnnData) reuses cnmf_tpu's h5ad codec and container — the
   IO layer is contract plumbing, pinned by its own round-trip tests, and
@@ -40,7 +48,9 @@ class pp:
     """scanpy.pp subset (scanpy's normalize_total / scale semantics)."""
 
     @staticmethod
-    def normalize_total(adata, target_sum=None):
+    def normalize_total(adata, target_sum=None, copy=False):
+        if copy:
+            adata = adata.copy()
         X = adata.X
         if not sp.issparse(X) and X.dtype.kind != "f":
             X = X.astype(np.float64)
@@ -58,6 +68,33 @@ class pp:
             adata.X = X
         else:
             adata.X = X / scale[:, None]
+        return adata if copy else None
+
+    @staticmethod
+    def filter_genes(adata, min_cells=None):
+        """scanpy.pp.filter_genes(min_cells=) semantics: keep genes detected
+        (nonzero) in >= min_cells cells, record var['n_cells'], subset the
+        AnnData IN PLACE (the reference calls it for its side effect,
+        reference preprocess.py:92)."""
+        X = adata.X
+        n_cells = np.asarray((X != 0).sum(axis=0)).ravel()
+        keep = n_cells >= min_cells
+        adata.X = X[:, np.where(keep)[0]] if not sp.issparse(X) \
+            else X.tocsc()[:, np.where(keep)[0]].tocsr()
+        adata.var = adata.var.loc[keep].copy()
+        adata.var["n_cells"] = n_cells[keep]
+
+    @staticmethod
+    def filter_cells(adata, min_counts=None):
+        """scanpy.pp.filter_cells(min_counts=) semantics: keep cells with
+        total counts >= min_counts, record obs['n_counts'], subset IN PLACE
+        (reference preprocess.py:105)."""
+        X = adata.X
+        n_counts = np.asarray(X.sum(axis=1)).ravel()
+        keep = n_counts >= min_counts
+        adata.X = X[np.where(keep)[0]]
+        adata.obs = adata.obs.loc[keep].copy()
+        adata.obs["n_counts"] = n_counts[keep]
 
     @staticmethod
     def scale(adata, zero_center=True, max_value=None):

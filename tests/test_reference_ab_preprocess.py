@@ -164,6 +164,40 @@ def test_preprocess_for_cnmf_matches_reference(ref_pp, sparse):
     )
 
 
+@pytest.mark.parametrize("sparse", [True, False])
+def test_select_features_MI_matches_reference(ref_pp, sparse):
+    """ADT-panel MI feature selection (reference preprocess.py:425-473).
+    Both implementations call sklearn's mutual_info_classif with
+    random_state=None (global numpy RNG): re-seeding via Preprocess's own
+    random_seed before each run makes the kNN-MI noise draws identical, so
+    ranks and the highly_variable mask must match exactly."""
+    rng = np.random.RandomState(3)
+    n_cells, n_feat = 120, 20
+    cluster = rng.randint(0, 3, size=n_cells)
+    X = rng.poisson(
+        5.0 + 8.0 * (cluster[:, None] == rng.randint(0, 3, size=n_feat)[None, :])
+    ).astype(np.float64)
+    var = pd.DataFrame(index=pd.Index([f"ADT{j}" for j in range(n_feat)]))
+    obs = pd.DataFrame(index=pd.Index([f"c{i}" for i in range(n_cells)]))
+    Xin = sp.csr_matrix(X) if sparse else X
+
+    a = ref_pp.Preprocess(random_seed=14).select_features_MI(
+        AnnData(Xin.copy(), obs.copy(), var.copy()), cluster,
+        n_top_features=7, makeplots=False,
+    )
+    b = Preprocess(random_seed=14).select_features_MI(
+        AnnData(Xin.copy(), obs.copy(), var.copy()), cluster,
+        n_top_features=7, makeplots=False,
+    )
+    pd.testing.assert_series_equal(a.var["MI"], b.var["MI"])
+    np.testing.assert_array_equal(
+        a.var["MI_Rank"].values, b.var["MI_Rank"].values
+    )
+    np.testing.assert_array_equal(
+        a.var["highly_variable"].values, b.var["highly_variable"].values
+    )
+
+
 def test_preprocess_rna_only_dense_matches_reference(ref_pp):
     """RNA-only dense input through the single-AnnData branch (reference
     preprocess.py:214-219: var_names_make_unique + features_renamed), with

@@ -62,10 +62,17 @@ def compact_integer_counts(X) -> np.ndarray | None:
         return None
     if X.size * np.dtype(dtype).itemsize > _MAX_STASH_BYTES:
         return None
-    # input already at the minimal dtype: alias it — the stash is read-only
-    # and an astype would first-touch a fresh 27-54 MB copy inside prepare's
-    # wall for identical values
-    ints = X if X.dtype == np.dtype(dtype) else X.astype(dtype)
+    # input already at the minimal dtype: alias a READ-ONLY view — the
+    # stash's <=2-ulp device-TPM/norm contract depends on the values never
+    # changing after prepare, and an astype would first-touch a fresh
+    # 27-54 MB copy inside prepare's wall for identical values. The frozen
+    # view keeps the zero-copy win while making accidental caller mutation
+    # fail loudly instead of silently corrupting the stash.
+    if X.dtype == np.dtype(dtype):
+        ints = X.view()
+        ints.setflags(write=False)
+    else:
+        ints = X.astype(dtype)
     if X.dtype.kind == "f" and not np.array_equal(ints, X):
         return None  # non-integral values
     return ints
@@ -114,6 +121,20 @@ def norm_column_spec(counts_var_index, hvg_index, ints, dtype, std=None):
     cols = cols.astype(np.int32)
     if std is None:
         std = ints[:, cols].astype(np.float64).std(axis=0, ddof=1)
+    else:
+        # alignment spot-check: the passed-in divisor must match the HVG
+        # column ORDER, not just the shape — recompute a few sampled columns
+        # from the integer image (bit-equal to the counts) and compare. A
+        # reordered h5ad var index upstream would otherwise silently
+        # mis-scale genes within the 1e-4 contract's blast radius.
+        std_arr = np.asarray(std, dtype=np.float64)
+        if std_arr.shape == cols.shape and len(cols):
+            probe = np.unique(
+                np.linspace(0, len(cols) - 1, num=min(3, len(cols)), dtype=int)
+            )
+            ref = ints[:, cols[probe]].astype(np.float64).std(axis=0, ddof=1)
+            if not np.allclose(ref, std_arr[probe], rtol=1e-9, atol=0.0):
+                return None  # misaligned divisor: keep the exact float path
     std = np.asarray(std, dtype=np.float64)
     if std.shape != cols.shape or not np.isfinite(std).all() or (std == 0).any():
         return None  # degenerate genes: keep the exact float path

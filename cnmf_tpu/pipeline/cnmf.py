@@ -1952,7 +1952,22 @@ class cNMF:
         pipeline_all = 2 * total_padk * N * dtype.itemsize < 2e9
         Xs = SDS((N, G), dtype)
         for pad_k, kk in sorted(buckets.items()):
-            Bs = sorted({sizes[k] for k in kk})
+            # mirror _factorize_one_k's restart chunking: at atlas scale the
+            # runtime splits each K's B restarts into HBM-bounded chunks, so
+            # the solver programs lower at the CHUNK sizes (body + tail), not
+            # the full per-K count — otherwise the precompile misses and the
+            # run pays an on-demand remote compile per bucket
+            per_restart = N * pad_k * dtype.itemsize * 4
+            rchunk = max(1, int(4e9 / max(per_restart, 1)))
+
+            def _chunk_sizes(B, rchunk=rchunk):
+                c = min(rchunk, B)
+                out = {c}
+                if B % c:
+                    out.add(B % c)
+                return out
+
+            Bs = sorted({b for k in kk for b in _chunk_sizes(sizes[k])})
             for B in Bs:
                 Ws, Hts = SDS((B, N, pad_k), dtype), SDS((B, G, pad_k), dtype)
                 if device_init and not use_dladder:

@@ -177,3 +177,39 @@ def test_device_norm_pipeline_smoke(tmp_path, monkeypatch):
     num = ((outs["0"] - outs["1"]) ** 2).sum()
     den = (outs["0"] ** 2).sum()
     assert num / den < 1e-5, f"relative SSE {num/den:.2e}"
+
+
+def test_compact_alias_is_readonly():
+    """An already-minimal-dtype input aliases as a FROZEN view: the stash's
+    <=2-ulp contract depends on post-prepare immutability, so accidental
+    caller mutation must fail loudly instead of silently corrupting it."""
+    rng = np.random.RandomState(7)
+    X = rng.randint(0, 200, size=(20, 15)).astype(np.uint8)
+    ints = compact_integer_counts(X)
+    assert ints is not None and ints.base is X  # zero-copy alias kept
+    with np.testing.assert_raises(ValueError):
+        ints[0, 0] = 1
+    X[0, 0] = 9  # the caller's own array stays writable
+
+
+def test_norm_column_spec_rejects_misaligned_std():
+    """A passed-in std vector whose column ORDER doesn't match the HVG
+    subset must be rejected (fall back to the exact float path), not
+    silently mis-scale genes."""
+    from cnmf_tpu.ops.device_tpm import norm_column_spec
+
+    rng = np.random.RandomState(8)
+    X = rng.poisson(2.5, size=(60, 30)).astype(np.float64)
+    X += rng.poisson(5.0, size=(60, 30))  # distinct per-column stds
+    names = pd.Index([f"g{j}" for j in range(30)])
+    hvg = pd.Index(["g7", "g2", "g19"])
+    ints = compact_integer_counts(X)
+    good = X[:, [7, 2, 19]].std(axis=0, ddof=1)
+    spec = norm_column_spec(
+        names, hvg, ints, np.dtype(np.float32), std=good
+    )
+    assert spec is not None
+    shuffled = good[[1, 2, 0]]  # right values, wrong order
+    assert norm_column_spec(
+        names, hvg, ints, np.dtype(np.float32), std=shuffled
+    ) is None

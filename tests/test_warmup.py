@@ -81,3 +81,34 @@ def _run_warmup_coverage(tmp_path):
         f"warmed pipeline still compiled {counter.misses} program(s) "
         f"(hits={counter.hits}) — warmup coverage drifted"
     )
+
+
+def test_warmup_lowers_chunk_sized_ladders(tmp_path, monkeypatch):
+    """At atlas scale _factorize_one_k splits each K's restarts into
+    HBM-bounded chunks; the warmup must lower the solver programs at those
+    CHUNK sizes (body + tail), not the full per-K count, or the cold-start
+    precompile misses exactly when the run is most expensive."""
+    monkeypatch.setenv("CNMF_TPU_DEVICE_INIT", "force")
+    monkeypatch.setenv("CNMF_TPU_DEVICE_LADDER", "1")
+
+    rng = np.random.RandomState(3)
+    X = rng.poisson(1.0, size=(60, 90)).astype(float)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(X, index=[f"c{i}" for i in range(60)],
+                      columns=[f"g{j}" for j in range(90)])
+    fn = str(tmp_path / "counts.txt")
+    df.to_csv(fn, sep="\t")
+
+    obj = cNMF(output_dir=str(tmp_path), name="chunkwu")
+    obj.prepare(counts_fn=fn, components=[5], n_iter=7, seed=4,
+                num_highvar_genes=40)
+
+    # virtual shape big enough that the 4 GB working-set bound forces
+    # chunking: per_restart = N*pad_k*4*4 = 1.28e9 -> restart_chunk = 3,
+    # so B=7 runs as chunks of 3, 3, 1 — mirror of _factorize_one_k's bound
+    big_n = 10_000_000
+    jobs = obj._warmup_jobs(norm_shape=(big_n, 90), tpm_meta=(90, False))
+    labels = {j[1] for j in jobs}
+    assert "seeded_ladder_pad8_B3" in labels, sorted(labels)
+    assert "seeded_ladder_pad8_B1" in labels, sorted(labels)
+    assert "seeded_ladder_pad8_B7" not in labels, sorted(labels)

@@ -245,3 +245,18 @@ def norm_from_counts(ints, cols, std):
     by the per-gene std. vs the host float64 pipeline both sides round the
     true quotient to f32 — equal to <=2 ulp."""
     return ints[:, cols].astype(std.dtype) / std[None, :]
+
+
+@jax.jit
+def derive_norm_and_tpm(ints, cols, std, scale):
+    """Factorize input AND the consensus-stage full-gene TPM from the SAME
+    device integer image in ONE program. ``norm_from_counts`` and
+    ``tpm_from_counts`` each expanded this image as their own XLA program
+    (~1.9 s of serial remote compile cold + an extra dispatch warm); both
+    expansions are elementwise over the one input, so fusing them is free.
+    Outputs are bit-identical to the two separate programs (identical op
+    sequences per element)."""
+    return (
+        ints[:, cols].astype(std.dtype) / std[None, :],
+        ints.astype(scale.dtype) * scale[:, None],
+    )

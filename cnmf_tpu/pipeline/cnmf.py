@@ -424,6 +424,33 @@ class cNMF:
         cols, std = spec
         self._norm_compact = (weakref.ref(norm_adata), ints, cols, std)
 
+    def _fused_tpm_derive_target(self):
+        """(tpm_adata, scale) when factorize should derive the consensus
+        device TPM alongside its own input in ONE program, else
+        ``(None, None)``. Mirrors the compact branch of
+        ``_prefetch_tpm_async``: prefetch enabled, a live TPM stash at the
+        compute dtype, the derived buffer under half the device limit, and
+        the single-device layout (the cell-sharded mesh variant ships the
+        image sharded from the prefetch thread instead)."""
+        if os.environ.get("CNMF_TPU_PREFETCH_TPM", "1") != "1":
+            return None, None
+        stash = getattr(self, "_tpm_compact", None)
+        if stash is None:
+            return None, None
+        ref, ints, scale = stash
+        target = ref()
+        derived_bytes = (
+            ints.shape[0] * ints.shape[1] * self.compute_dtype.itemsize
+        )
+        if (
+            target is None
+            or scale.dtype != self.compute_dtype
+            or derived_bytes >= 0.5 * self._tpm_device_limit()
+            or (len(jax.devices()) > 1 and getattr(self, "shard_cells", True))
+        ):
+            return None, None
+        return target, scale
+
     def _prefetch_tpm_async(self):
         """Warm the consensus-stage device TPM cache while factorize owns the
         wall clock.
@@ -466,6 +493,15 @@ class cNMF:
                 if stash is not None:
                     ref, ints, scale = stash
                     target = ref()
+                    cached = getattr(self, "_tpm_dev_cache", None)
+                    if (
+                        target is not None
+                        and cached is not None
+                        and cached[0]() is target
+                    ):
+                        # factorize's fused derive already seeded the device
+                        # TPM (derive_norm_and_tpm) — nothing to move
+                        return
                     derived_bytes = (
                         ints.shape[0] * ints.shape[1]
                         * self.compute_dtype.itemsize
@@ -1041,6 +1077,7 @@ class cNMF:
                 if ref() is norm_counts and std.dtype == self.compute_dtype:
                     from cnmf_tpu.ops.device_tpm import (
                         _COMPUTE_CSR,
+                        derive_norm_and_tpm,
                         norm_from_counts,
                         upload_int_image,
                     )
@@ -1055,10 +1092,27 @@ class cNMF:
                     # the prefetch thread reads this AFTER factorize starts
                     # it, so publish before _prefetch_tpm_async below
                     self._ints_dev = (ints, ints_dev)
-                    Xd = norm_from_counts(
-                        ints_dev, jnp.asarray(cols), jnp.asarray(std)
-                    )
                     link_bytes = int_bytes + cols.nbytes + std.nbytes
+                    # when the same-process TPM prefetch would expand this
+                    # image anyway (single-device layout), derive BOTH
+                    # outputs in ONE program (ops/device_tpm
+                    # .derive_norm_and_tpm) — one less cold compile and one
+                    # less warm dispatch; the prefetch thread then hits the
+                    # seeded device cache and moves nothing
+                    tpm_target, tpm_scale = self._fused_tpm_derive_target()
+                    if tpm_target is not None:
+                        Xd, tpm_dev = derive_norm_and_tpm(
+                            ints_dev, jnp.asarray(cols), jnp.asarray(std),
+                            jnp.asarray(tpm_scale),
+                        )
+                        self._device_cached(
+                            "_tpm_dev_cache", tpm_target, lambda: tpm_dev
+                        )
+                        link_bytes += tpm_scale.nbytes
+                    else:
+                        Xd = norm_from_counts(
+                            ints_dev, jnp.asarray(cols), jnp.asarray(std)
+                        )
             if Xd is None:
                 Xd = jnp.asarray(X)
                 link_bytes = X.nbytes
@@ -1879,15 +1933,35 @@ class cNMF:
         # when prepare ran in THIS process and stashed the integer image
         nstash = getattr(self, "_norm_compact", None)
         _env_dn = os.environ.get("CNMF_TPU_DEVICE_NORM", "")
-        if (
+        norm_derive_on = (
             nstash is not None
             and (_env_dn == "1"
                  or (_env_dn != "0" and jax.default_backend() == "tpu"))
-        ):
-            from cnmf_tpu.ops.device_tpm import norm_from_counts
+            and nstash[3].dtype == self.compute_dtype
+        )
+        # factorize fuses the TPM expansion into its input derive when the
+        # prefetch would expand the same image (single-device layout) —
+        # mirror that gate so the warmed run dispatches the SAME program
+        fused_tpm_target, fused_tpm_scale = (
+            self._fused_tpm_derive_target() if norm_derive_on
+            else (None, None)
+        )
+        if norm_derive_on:
+            from cnmf_tpu.ops.device_tpm import (
+                derive_norm_and_tpm,
+                norm_from_counts,
+            )
 
             _, n_ints, n_cols, n_std = nstash
-            if n_std.dtype == self.compute_dtype:
+            if fused_tpm_target is not None:
+                lower(
+                    "factorize", "derive_norm_and_tpm", derive_norm_and_tpm,
+                    SDS(n_ints.shape, jnp.dtype(n_ints.dtype)),
+                    SDS(n_cols.shape, jnp.dtype(n_cols.dtype)),
+                    SDS(n_std.shape, dtype),
+                    SDS(fused_tpm_scale.shape, dtype),
+                )
+            else:
                 lower(
                     "factorize", "norm_from_counts", norm_from_counts,
                     SDS(n_ints.shape, jnp.dtype(n_ints.dtype)),
@@ -1914,6 +1988,9 @@ class cNMF:
         tstash = getattr(self, "_tpm_compact", None)
         if (
             tstash is not None
+            # the fused factorize derive seeds the device TPM itself — the
+            # prefetch short-circuits and tpm_from_counts never dispatches
+            and fused_tpm_target is None
             and os.environ.get("CNMF_TPU_PREFETCH_TPM", "1") == "1"
             # the cell-SHARDED mesh variant compiles against sharded inputs
             # whose GSPMD key a plain lowering would not match — warmup

@@ -213,3 +213,56 @@ def test_norm_column_spec_rejects_misaligned_std():
     assert norm_column_spec(
         names, hvg, ints, np.dtype(np.float32), std=shuffled
     ) is None
+
+
+def test_fused_derive_matches_separate_programs():
+    """derive_norm_and_tpm must be bit-identical to the two programs it
+    replaces (same elementwise op sequences over the same integer image)."""
+    from cnmf_tpu.ops.device_tpm import (
+        derive_norm_and_tpm,
+        norm_from_counts,
+        tpm_from_counts,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    X = rng.poisson(2.0, size=(40, 25)).astype(np.float64)
+    X[:, 3] += 1
+    ints = compact_integer_counts(X)
+    cols = np.array([3, 11, 7], dtype=np.int32)
+    std = X[:, cols].std(axis=0, ddof=1).astype(np.float32)
+    scale = tpm_row_scale(X).astype(np.float32)
+
+    norm_f, tpm_f = derive_norm_and_tpm(
+        jnp.asarray(ints), jnp.asarray(cols), jnp.asarray(std),
+        jnp.asarray(scale),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(norm_f),
+        np.asarray(norm_from_counts(jnp.asarray(ints), jnp.asarray(cols),
+                                    jnp.asarray(std))),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tpm_f),
+        np.asarray(tpm_from_counts(jnp.asarray(ints), jnp.asarray(scale))),
+    )
+
+
+def test_fused_derive_seeds_consensus_tpm_cache(tmp_path, monkeypatch):
+    """With device-norm forced and the prefetch on, factorize derives the
+    consensus device TPM in the SAME program as its input; the prefetch
+    thread must find the seeded cache and move nothing, and consensus must
+    reuse the buffer (values match the float upload to f32 rounding)."""
+    monkeypatch.setenv("CNMF_TPU_DEVICE_NORM", "1")
+    obj = _dense_prepared(tmp_path, "fusedtpm")
+    obj.shard_cells = False  # single-device layout on the 8-dev CPU mesh
+    target, scale = obj._fused_tpm_derive_target()
+    assert target is not None and scale is not None
+    obj.factorize(verbose=False)
+    cached = getattr(obj, "_tpm_dev_cache", None)
+    assert cached is not None and cached[0]() is target
+    tpm_dev = np.asarray(cached[1])
+    host_tpm = np.asarray(target.X, dtype=np.float64)
+    np.testing.assert_allclose(tpm_dev, host_tpm, rtol=3e-7, atol=0.0)
+    obj.combine()
+    obj.consensus(k=4, density_threshold=2.0, show_clustering=False)

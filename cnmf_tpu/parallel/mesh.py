@@ -25,13 +25,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def build_mesh(
     devices: Optional[Sequence] = None,
-    cell_axis: int = 1,
+    cell_axis: Optional[int] = None,
 ) -> Mesh:
     """Mesh over all (or given) devices with axes (restart, cell).
 
     ``cell_axis`` devices are dedicated to sharding the cell dimension; the
-    rest shard restarts.
+    rest shard restarts. Default: the ``CNMF_TPU_CELL_AXIS`` env knob
+    (1 when unset — restart-only, the right layout whenever X fits each
+    device's HBM; atlas configs on a pod set it to split X's rows, with the
+    gram reductions psum'd over the cell axis).
     """
+    if cell_axis is None:
+        import os
+
+        cell_axis = int(os.environ.get("CNMF_TPU_CELL_AXIS", "1"))
     if devices is None:
         devices = jax.devices()
     n = len(devices)

@@ -63,6 +63,7 @@ from cnmf_tpu.pipeline.solvers import (
     cd_pallas_eligible,
     compute_regularization,
     device_init_enabled,
+    device_kmeanspp_enabled,
     device_ladder_enabled,
     mu_pallas_eligible,
     refit_spectra_transposed,
@@ -72,6 +73,7 @@ from cnmf_tpu.pipeline.solvers import (
     solve_nmf_batch_ladder_seeded,
     solve_nmf_sharded_device,
     solve_nmf_batch_sharded,
+    solve_nmf_batch_sharded_seeded,
     solve_nmf_grid,
     solve_nmf_staged,
 )
@@ -1130,13 +1132,27 @@ class cNMF:
         # not this replicated one)
         # restart-axis mesh: replicate X across the devices ONCE here — the
         # per-K shard_map solves (solvers.solve_nmf_sharded_device) then
-        # reuse the placement instead of re-broadcasting every K
+        # reuse the placement instead of re-broadcasting every K.
+        # cell-sharded meshes place X's rows over the cell axis instead
+        # (the GSPMD solves' input layout, solvers.solve_nmf_batch_sharded_
+        # seeded) — either way one placement pass serves every K
         if use_mesh and len(jax.devices()) > 1 and isinstance(Xd, jax.Array):
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
             _mesh0 = build_mesh()
             if _mesh0.shape["cell"] == 1:
                 Xd = jax.device_put(Xd, NamedSharding(_mesh0, _P()))
+            else:
+                # zero-pad rows to the cell-shard multiple (committed arrays
+                # need even shards); the GSPMD seeded solver masks the
+                # matching W rows to zero — exactly neutral — and slices
+                # its outputs back (solvers.solve_nmf_batch_sharded_seeded)
+                _pad = (-Xd.shape[0]) % _mesh0.shape["cell"]
+                if _pad:
+                    Xd = jnp.pad(Xd, ((0, _pad), (0, 0)))
+                Xd = jax.device_put(
+                    Xd, NamedSharding(_mesh0, _P("cell", None))
+                )
         if dense_bytes < 2e9 and len(jax.devices()) == 1:
             self._device_cached("_norm_counts_dev_cache", norm_counts, lambda: Xd)
 
@@ -1594,12 +1610,25 @@ class cNMF:
             and device_ladder_enabled()
             and mesh.shape["cell"] == 1
         )
+        # cell-sharded meshes (atlas configs on a pod) get the GSPMD twin:
+        # device init constrained to the factorize shardings + the plain
+        # batched solver in ONE program (solvers.solve_nmf_batch_sharded_
+        # seeded) — no host noise crosses the link on ANY mesh shape now
+        # (round-4 VERDICT #1; the ladder's argsort re-pack would shuffle
+        # restart shards across devices, so cell>1 keeps the plain schedule)
+        gspmd_seeded_path = (
+            multi_device
+            and init == "random"
+            and device_init_enabled()
+            and mesh.shape["cell"] != 1
+        )
         device_init = (
             init == "random" and device_init_enabled() and not multi_device
         )
         x_mean = (
             self._x_mean_for_init(X_host, dtype)
-            if (device_init or sharded_device_path) else None
+            if (device_init or sharded_device_path or gspmd_seeded_path)
+            else None
         )
         # single-device twin of the sharded path: init + ladder fused into
         # one program (solvers._seeded_ladder) — one compile per pad bucket
@@ -1621,6 +1650,14 @@ class cNMF:
                     mesh, Xd, chunk_seeds, x_mean, k, pad_k, nmf_kwargs
                 )
                 W = Ht = None
+            elif gspmd_seeded_path:
+                _t1 = _time.perf_counter()
+                # Xd may carry zero-padded rows for even cell shards;
+                # X_host's count scales the regularization exactly
+                W, Ht, n_iter = solve_nmf_batch_sharded_seeded(
+                    mesh, Xd, chunk_seeds, x_mean, k, pad_k, nmf_kwargs,
+                    n_cells=X_host.shape[0],
+                )
             elif seeded_single:
                 _t1 = _time.perf_counter()
                 Hs_ladder, n_iter, ladder_exec = solve_nmf_batch_ladder_seeded(
@@ -1633,7 +1670,7 @@ class cNMF:
                     dtype,
                 )
                 _t1 = _time.perf_counter()
-            if sharded_device_path or seeded_single:
+            if sharded_device_path or gspmd_seeded_path or seeded_single:
                 pass
             elif multi_device:
                 # beta != 2 solves run under shard_map over the restart axis
@@ -1871,7 +1908,10 @@ class cNMF:
             nmf_mu_device_ladder,
             nmf_multiplicative_update,
         )
-        from cnmf_tpu.ops.consensus_fused import _fused_consensus
+        from cnmf_tpu.ops.consensus_fused import (
+            _fused_consensus,
+            _fused_consensus_full,
+        )
         from cnmf_tpu.ops.kstats import _fused_k_stats
         from cnmf_tpu.pipeline.solvers import _seeded_ladder
 
@@ -2151,14 +2191,18 @@ class cNMF:
             mu_pallas_eligible(beta, dtype, shape=(N, G)) if solver == "mu"
             else cd_pallas_eligible((N, G), dtype)
         )
+        full_fused = use_fused and device_kmeanspp_enabled()
         for k in ks:
             R = sizes[k] * k
             Rp = -(-R // 512) * 512
             Kp = -(-k // 8) * 8
-            lower(
-                "consensus", f"knn_density_R{Rp}", _knn_density_padded,
-                SDS((Rp, G), dtype), SDS((), idt), SDS((), idt),
-            )
+            if not full_fused:
+                # the full-fused program recomputes density inline — the
+                # standalone program never dispatches on that path
+                lower(
+                    "consensus", f"knn_density_R{Rp}", _knn_density_padded,
+                    SDS((Rp, G), dtype), SDS((), idt), SDS((), idt),
+                )
             lower(
                 "consensus", f"k_stats_k{k}", _fused_k_stats,
                 SDS((N, G), dtype), SDS((Rp, G), dtype),
@@ -2169,7 +2213,30 @@ class cNMF:
                 refit_max_iter=max_iter, l1_reg_W=l1_reg_W,
                 l2_reg_W=l2_reg_W, mu_chunk=8, use_pallas=kstat_pallas,
             )
-            if use_fused:
+            if full_fused:
+                # density + filter + device kmeans++ + chain as ONE program
+                # (consensus()'s full_fused branch)
+                lower(
+                    "consensus", f"fused_consensus_full_k{k}",
+                    _fused_consensus_full,
+                    SDS((N, G), dtype), SDS((N, Gall), dtype),
+                    SDS((Rp, G), dtype), SDS((Rp,), dtype),
+                    SDS((), jnp.dtype(bool)), SDS((), dtype),
+                    SDS((), idt), SDS((), idt),
+                    SDS((2,), jnp.dtype(jnp.uint32)),
+                    SDS((), dtype), SDS((), idt),
+                    SDS((Gall,), dtype), SDS((H,), idt),
+                    n_cluster_pad=Kp, n_init=10,
+                    n_local_trials=2 + int(np.log(k)), lloyd_max_iter=300,
+                    solver=solver, beta=beta, tol=tol, max_iter=max_iter,
+                    mu_chunk=8, use_pallas=use_pallas_mu,
+                    n_cells=N, n_hvgs=H,
+                    alpha_W=float(nmf_kwargs.get("alpha_W", 0.0)),
+                    l1_ratio=float(nmf_kwargs.get("l1_ratio", 0.0)),
+                    refit_usage=True, normalize_tpm=False,
+                    zero_safe_std=tpm_sparse,
+                )
+            elif use_fused:
                 lower(
                     "consensus", f"fused_consensus_k{k}", _fused_consensus,
                     SDS((N, G), dtype), SDS((N, Gall), dtype),
@@ -2438,22 +2505,43 @@ class cNMF:
         if os.path.isfile(self.paths["local_density_cache"] % k):
             local_density = load_df_from_npz(self.paths["local_density_cache"] % k)
         else:
-            density = local_density_from_spectra(
-                l2_spectra.values.astype(self.compute_dtype), n_neighbors,
-            ).astype(np.float64)
-            local_density = pd.DataFrame(
-                density, columns=["local_density"], index=l2_spectra.index
-            )
-            save_df_to_npz(local_density, self.paths["local_density_cache"] % k)
+            local_density = None
 
-        _mark("density")
-        density_filter = local_density.iloc[:, 0] < density_threshold
-        l2_spectra = l2_spectra.loc[density_filter, :]
-        if l2_spectra.shape[0] == 0:
-            raise RuntimeError(
-                "Zero components remain after density filtering. "
-                "Consider increasing density threshold"
-            )
+        # the WHOLE consensus — density, filter, kmeans++ seeding, chain —
+        # can run as ONE device program (ops/consensus_fused
+        # .fused_consensus_full): the host kmeans++ previously forced a
+        # device→host→device sync mid-consensus plus its own cold compile.
+        # Defer the density compute/filter to that program when it applies;
+        # the fused gate itself (tpm_on_device) resolves below.
+        full_fused_wanted = (
+            os.environ.get("CNMF_TPU_FUSED_CONSENSUS", "1") == "1"
+            and device_kmeanspp_enabled()
+        )
+
+        def _host_density_filter():
+            nonlocal local_density, l2_spectra
+            if local_density is None:
+                density = local_density_from_spectra(
+                    l2_spectra.values.astype(self.compute_dtype), n_neighbors,
+                ).astype(np.float64)
+                local_density = pd.DataFrame(
+                    density, columns=["local_density"], index=l2_spectra.index
+                )
+                save_df_to_npz(
+                    local_density, self.paths["local_density_cache"] % k
+                )
+            filt = local_density.iloc[:, 0] < density_threshold
+            l2_spectra = l2_spectra.loc[filt, :]
+            if l2_spectra.shape[0] == 0:
+                raise RuntimeError(
+                    "Zero components remain after density filtering. "
+                    "Consider increasing density threshold"
+                )
+            return filt
+
+        if not full_fused_wanted:
+            density_filter = _host_density_filter()
+            _mark("density")
 
         # --------------------------------------------------------------
         # shared inputs for both consensus execution paths
@@ -2488,12 +2576,22 @@ class cNMF:
             tpm_on_device
             and os.environ.get("CNMF_TPU_FUSED_CONSENSUS", "1") == "1"
         )
+        full_fused = full_fused_wanted and use_fused
+        if full_fused_wanted and not use_fused:
+            # atlas fallback: the TPM exceeds the device budget, so the
+            # classic host density/filter runs now and the step-by-step
+            # path below takes over
+            density_filter = _host_density_filter()
+            _mark("density")
         if use_fused:
             # ONE device program from Lloyd to the final refit
             # (ops/consensus_fused.py): the unfused path below pays a
             # host-device synchronization between each of ~6 phases, which
             # dominates consensus wall time on a relayed TPU
-            from cnmf_tpu.ops.consensus_fused import fused_consensus
+            from cnmf_tpu.ops.consensus_fused import (
+                fused_consensus,
+                fused_consensus_full,
+            )
 
             norm_counts_dev = self._device_cached(
                 "_norm_counts_dev_cache", norm_counts,
@@ -2504,26 +2602,57 @@ class cNMF:
             )
             beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
             solver = nmf_kwargs.get("solver", "cd")
-            labels, median_np, rf_init, rf_final, spectra_tpm_np, coef_np = \
-                fused_consensus(
+            common = dict(
+                tpm_std=tpm_stats["__std"].values,
+                hvg_idx=hvg_idx, n_cells=n_cells,
+                solver=solver, beta=beta,
+                tol=float(nmf_kwargs.get("tol", 1e-4)),
+                max_iter=int(nmf_kwargs.get("max_iter", 200)),
+                alpha_W=float(nmf_kwargs.get("alpha_W", 0.0)),
+                l1_ratio=float(nmf_kwargs.get("l1_ratio", 0.0)),
+                use_pallas=(
+                    mu_pallas_eligible(beta, self.compute_dtype,
+                                       shape=tpm.X.shape)
+                    if solver == "mu" else False
+                ),
+                refit_usage=refit_usage,
+                normalize_tpm=normalize_tpm_spectra,
+                zero_safe_std=zero_safe,
+            )
+            if full_fused:
+                # density + filter + device kmeans++ fold INTO the program:
+                # no mid-consensus host sync, one less cold compile; cached
+                # density values win bitwise when the memo file exists
+                (density_np, labels, median_np, rf_init, rf_final,
+                 spectra_tpm_np, coef_np) = fused_consensus_full(
                     norm_counts_dev, tpm_src,
                     l2_spectra.values.astype(self.compute_dtype), k,
-                    tpm_std=tpm_stats["__std"].values,
-                    hvg_idx=hvg_idx, n_cells=n_cells,
-                    solver=solver, beta=beta,
-                    tol=float(nmf_kwargs.get("tol", 1e-4)),
-                    max_iter=int(nmf_kwargs.get("max_iter", 200)),
-                    alpha_W=float(nmf_kwargs.get("alpha_W", 0.0)),
-                    l1_ratio=float(nmf_kwargs.get("l1_ratio", 0.0)),
-                    use_pallas=(
-                        mu_pallas_eligible(beta, self.compute_dtype,
-                                           shape=tpm.X.shape)
-                        if solver == "mu" else False
+                    density_threshold=float(density_threshold),
+                    n_neighbors=n_neighbors,
+                    cached_density=(
+                        local_density.values if local_density is not None
+                        else None
                     ),
-                    refit_usage=refit_usage,
-                    normalize_tpm=normalize_tpm_spectra,
-                    zero_safe_std=zero_safe,
+                    **common,
                 )
+                if local_density is None:
+                    local_density = pd.DataFrame(
+                        density_np, columns=["local_density"],
+                        index=l2_spectra.index,
+                    )
+                    save_df_to_npz(
+                        local_density, self.paths["local_density_cache"] % k
+                    )
+                density_filter = local_density.iloc[:, 0] < density_threshold
+                l2_spectra = l2_spectra.loc[density_filter, :]
+                _mark("density")
+            else:
+                labels, median_np, rf_init, rf_final, spectra_tpm_np, \
+                    coef_np = fused_consensus(
+                        norm_counts_dev, tpm_src,
+                        l2_spectra.values.astype(self.compute_dtype), k,
+                        **common,
+                    )
             kmeans_cluster_labels = pd.Series(labels + 1, index=l2_spectra.index)
             gep_ids = np.arange(1, k + 1)
             median_spectra = pd.DataFrame(

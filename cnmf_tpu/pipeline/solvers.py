@@ -141,12 +141,16 @@ def solve_nmf_batch(
     mu_chunk: int = 8,
     compact: bool = False,
     allow_pallas: bool = True,
+    reg_shape: Tuple[int, int] = None,
 ) -> Tuple[jax.Array, jax.Array, np.ndarray]:
     """Run the batched solver described by sklearn-style kwargs.
 
     X: (N, G); W0: (B, N, K); Ht0: (B, G, K). Returns (W, Ht, n_iter).
     ``compact``: drop converged restarts from the batch between 125-sweep
     segments (CD only) — saves the tail cost of slow-converging restarts.
+    ``reg_shape``: the REAL (n_samples, n_features) for sklearn's
+    regularization scaling when X carries zero-padded rows for even mesh
+    shards (defaults to X.shape).
     """
     beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
     solver = nmf_kwargs.get("solver", "cd")
@@ -156,7 +160,7 @@ def solve_nmf_batch(
         float(nmf_kwargs.get("alpha_W", 0.0)),
         nmf_kwargs.get("alpha_H", "same"),
         float(nmf_kwargs.get("l1_ratio", 0.0)),
-        X.shape,
+        reg_shape if reg_shape is not None else X.shape,
     )
     if solver == "cd":
         if beta != 2.0:
@@ -235,6 +239,24 @@ def device_init_enabled() -> bool:
     the TPU backend — where the host path would ship ~270 MB of noise per
     run over the relay link."""
     env = os.environ.get("CNMF_TPU_DEVICE_INIT", "1")
+    if env == "0":
+        return False
+    if env == "force":
+        return True
+    return env == "1" and jax.default_backend() == "tpu"
+
+
+def device_kmeanspp_enabled() -> bool:
+    """Resolve the CNMF_TPU_DEVICE_KMEANSPP knob: '0' keeps the host greedy
+    kmeans++ (numpy RandomState stream, the sklearn-scheme seeding consensus
+    has used since round 3), 'force' enables the ON-DEVICE threefry-keyed
+    seeding on any backend (tests / CPU dryruns), '1' (default) enables it
+    on the TPU backend — where the host seeding forces a device→host→device
+    synchronization mid-consensus (KNN density drain → host kmeans++ →
+    chain dispatch) plus one extra cold compile (~4.7 s census). Same
+    greedy n_local_trials scheme either way; SURVEY §2.10 sanctions the JAX
+    PRNG stream standing in for the numpy one."""
+    env = os.environ.get("CNMF_TPU_DEVICE_KMEANSPP", "1")
     if env == "0":
         return False
     if env == "force":
@@ -336,6 +358,132 @@ def solve_nmf_sharded_device(
         Xd, seeds_d, jnp.asarray(avg, dtype), jnp.asarray(kmask)
     )
     return spec[:true_b], n_iter[:true_b], (ladder, stage_sweeps.sum(axis=0))
+
+
+def solve_nmf_batch_sharded_seeded(
+    mesh, X, seeds, x_mean: float, k: int, pad_k: int, nmf_kwargs: dict,
+    mu_chunk: int = 8, n_cells: int = None,
+):
+    """Cell-sharded mesh factorize with ON-DEVICE init: the GSPMD twin of
+    ``solve_nmf_sharded_device`` for meshes with ``cell > 1`` (including
+    restart × cell), closing the last host-noise upload — atlas configs on a
+    real pod shard the cell axis, and the host init would re-ship ~270 MB of
+    noise per run over the link (round-4 VERDICT #1).
+
+    ONE jit program: the threefry init draw (partition-independent —
+    ``jax_threefry_partitionable`` makes the counter-based bits identical
+    under any GSPMD partitioning, pinned by tests/test_sharded_device.py)
+    constrained to the factorize shardings (W rows follow X's cell shards,
+    Ht replicated over cell), then the plain batched solver — GSPMD inserts
+    the psum'd XᵀW/WᵀW reductions over the cell axis from the sharding
+    annotations (SURVEY §2.5-2.6). The ladder's argsort re-pack would
+    shuffle restart shards across devices mid-solve, so cell-sharded meshes
+    keep the plain schedule (same trade the GSPMD host-init path made).
+
+    X's rows zero-pad to the cell-shard multiple (committed arrays need
+    even shards); the matching W rows are masked to zero at init and stay
+    exactly zero through both solvers (CD: grad = W·HHt − XHt = 0 on a zero
+    row, so the projected gradient contributes nothing; MU: multiplicative
+    updates keep zeros), so padding is exactly neutral. The threefry draw's
+    prefix property (bits depend on the flat element index only) makes the
+    padded draw's real rows bit-identical to an unpadded draw. Pass
+    ``n_cells`` when X arrives pre-padded — it sets the real row count for
+    sklearn's regularization scaling and the returned W slice.
+
+    Returns ``(W (true_b, n_cells, pad_k), Ht, n_iter)`` sliced back to the
+    true restart count — same contract as ``solve_nmf_batch_sharded``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cnmf_tpu.ops.init import draw_init_batch
+    from cnmf_tpu.parallel.mesh import pad_to_multiple
+
+    n_restart = mesh.shape["restart"]
+    n_cell = mesh.shape["cell"]
+    solver = nmf_kwargs.get("solver", "cd")
+    beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
+    if solver == "cd" and beta != 2.0:
+        raise ValueError("CD solver supports frobenius loss only")
+    tol = float(nmf_kwargs.get("tol", 1e-4))
+    max_iter = int(nmf_kwargs.get("max_iter", 200))
+    n_in, g = X.shape
+    n_real = n_in if n_cells is None else int(n_cells)
+    l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H = compute_regularization(
+        float(nmf_kwargs.get("alpha_W", 0.0)),
+        nmf_kwargs.get("alpha_H", "same"),
+        float(nmf_kwargs.get("l1_ratio", 0.0)),
+        (n_real, g),
+    )
+    dtype = jnp.dtype(X.dtype)
+    seeds_p, true_b = pad_to_multiple(
+        np.asarray(seeds, dtype=np.uint32), n_restart
+    )
+    avg = np.dtype(dtype).type(np.sqrt(x_mean / k))
+    kmask = (np.arange(pad_k) < k).astype(dtype)
+
+    pad_rows = (-n_in) % n_cell
+    if pad_rows:
+        X = (jnp.pad(X, ((0, pad_rows), (0, 0)))
+             if isinstance(X, jax.Array)
+             else np.pad(np.asarray(X), ((0, pad_rows), (0, 0))))
+    n_tot = n_in + pad_rows
+
+    x_sh = NamedSharding(mesh, P("cell", None))
+    jitted = _gspmd_seeded_program(
+        mesh, n_tot, n_real, g, pad_k, dtype, solver, beta, tol, max_iter,
+        l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H, mu_chunk,
+    )
+    # factorize pre-places X cell-sharded once across the Ks; only re-place
+    # when a caller hands in something else
+    Xd = X if getattr(X, "sharding", None) == x_sh else jax.device_put(X, x_sh)
+    seeds_d = jax.device_put(seeds_p, NamedSharding(mesh, P("restart")))
+    W, Ht, n_iter = jitted(
+        Xd, seeds_d, jnp.asarray(avg, dtype), jnp.asarray(kmask)
+    )
+    return W[:true_b, :n_real], Ht[:true_b], n_iter[:true_b]
+
+
+@functools.lru_cache(maxsize=32)
+def _gspmd_seeded_program(
+    mesh, n_tot, n_real, g, pad_k, dtype, solver, beta, tol, max_iter,
+    l1_reg_W, l1_reg_H, l2_reg_W, l2_reg_H, mu_chunk,
+):
+    """Cached jit of the (init draw → constrained shardings → batched solve)
+    program — a fresh closure per call would miss jax's python-level jit
+    cache and re-trace every (K, chunk) dispatch. Keyed by the mesh object
+    (hashable) and the full traced config. ``n_tot`` is the cell-padded row
+    count the draw and solve run at; rows past ``n_real`` get zero W inits
+    (exactly neutral, see solve_nmf_batch_sharded_seeded)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cnmf_tpu.ops.init import draw_init_batch
+
+    w_sh = NamedSharding(mesh, P("restart", "cell", None))
+    h_sh = NamedSharding(mesh, P("restart", None, None))
+
+    def fn(Xd, seeds_d, avg_d, kmask_d):
+        W0, Ht0 = draw_init_batch(
+            seeds_d, avg_d, kmask_d, n=n_tot, g=g, pad_k=pad_k, dt=dtype
+        )
+        if n_tot > n_real:
+            rowmask = (jnp.arange(n_tot) < n_real).astype(dtype)
+            W0 = W0 * rowmask[None, :, None]
+        W0 = jax.lax.with_sharding_constraint(W0, w_sh)
+        Ht0 = jax.lax.with_sharding_constraint(Ht0, h_sh)
+        if solver == "cd":
+            return nmf_coordinate_descent(
+                Xd, W0, Ht0, tol=tol, max_iter=max_iter,
+                l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+                l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+            )
+        return nmf_multiplicative_update(
+            Xd, W0, Ht0, beta=beta, tol=tol, max_iter=max_iter,
+            l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+            l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H,
+            chunk=mu_chunk, use_pallas=False,
+        )
+
+    return jax.jit(fn)
 
 
 def device_ladder_enabled() -> bool:
@@ -537,6 +685,13 @@ def solve_nmf_batch_sharded(
     n_restart = mesh.shape["restart"]
     W0p, true_b = pad_to_multiple(np.asarray(W0), n_restart)
     Ht0p, _ = pad_to_multiple(np.asarray(Ht0), n_restart)
+    # X may carry zero-padded rows for even cell shards (factorize pre-pads
+    # once for the whole K sweep): give W matching ZERO rows — exactly
+    # neutral (CD leaves a zero row of a zero X row untouched; MU keeps
+    # zeros) — and slice them back off the result
+    n_w_real = W0p.shape[1]
+    if X.shape[0] > n_w_real:
+        W0p = np.pad(W0p, ((0, 0), (0, X.shape[0] - n_w_real), (0, 0)))
 
     beta = beta_loss_to_float(nmf_kwargs.get("beta_loss", "frobenius"))
     solver = nmf_kwargs.get("solver", "cd")
@@ -583,9 +738,9 @@ def solve_nmf_batch_sharded(
     Xs, W0d, Ht0d = shard_factorize_inputs(mesh, X, W0p, Ht0p)
     W, Ht, n_iter = solve_nmf_batch(
         Xs, W0d, Ht0d, nmf_kwargs, update_H=update_H, mu_chunk=mu_chunk,
-        allow_pallas=False,
+        allow_pallas=False, reg_shape=(n_w_real, X.shape[1]),
     )
-    return W[:true_b], Ht[:true_b], n_iter[:true_b]
+    return W[:true_b, :n_w_real], Ht[:true_b], n_iter[:true_b]
 
 
 def _match_factor_shardings(X, W0, Ht0):

@@ -137,3 +137,156 @@ def test_mesh_factorize_matches_single_device(force_device_paths, tmp_path):
             sa = load_df_from_npz(a.paths["iter_spectra"] % (k, it))
             sb = load_df_from_npz(b.paths["iter_spectra"] % (k, it))
             np.testing.assert_array_equal(sa.values, sb.values)
+
+
+def test_gspmd_seeded_matches_plain_cd(force_device_paths):
+    """Round-5 VERDICT #1: cell-sharded meshes get device init too — the
+    GSPMD (init draw → constrained shardings → plain batched solve) program
+    must reproduce the single-device device-init solve at f64 (the threefry
+    draw is partition-independent; the psum'd cell-axis grams only reorder
+    f64 reductions)."""
+    from cnmf_tpu.ops.init import random_init_batch_device
+    from cnmf_tpu.ops.nmf import nmf_coordinate_descent
+    from cnmf_tpu.parallel.mesh import build_mesh
+    from cnmf_tpu.pipeline.solvers import solve_nmf_batch_sharded_seeded
+
+    rng = np.random.RandomState(9)
+    N, G, k, pad_k, B = 91, 70, 5, 8, 24  # N deliberately odd: uneven shards
+    X = np.abs(rng.randn(N, G)).astype(np.float64)
+    seeds = rng.randint(1, 2**31 - 1, size=B)
+    x_mean = float(X.mean())
+    kwargs = {"solver": "cd", "beta_loss": "frobenius", "tol": 1e-4,
+              "max_iter": 150}
+
+    mesh = build_mesh(jax.devices()[:8], cell_axis=2)  # restart=4 x cell=2
+    W_s, Ht_s, n_s = solve_nmf_batch_sharded_seeded(
+        mesh, jax.numpy.asarray(X), seeds, x_mean, k, pad_k, kwargs
+    )
+
+    W0, Ht0 = random_init_batch_device(x_mean, N, G, k, seeds, pad_k=pad_k,
+                                       dtype=np.float64)
+    W_p, Ht_p, n_p = nmf_coordinate_descent(
+        jax.numpy.asarray(X), W0, Ht0, tol=1e-4, max_iter=150
+    )
+    np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_p))
+    np.testing.assert_allclose(np.asarray(Ht_s), np.asarray(Ht_p),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(W_s), np.asarray(W_p),
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_gspmd_seeded_mu_matches_plain(force_device_paths):
+    """Same contract for the MU/KL solver on a cell-sharded mesh (the atlas
+    beta!=2 path)."""
+    from cnmf_tpu.ops.init import random_init_batch_device
+    from cnmf_tpu.ops.nmf import nmf_multiplicative_update
+    from cnmf_tpu.parallel.mesh import build_mesh
+    from cnmf_tpu.pipeline.solvers import solve_nmf_batch_sharded_seeded
+
+    rng = np.random.RandomState(10)
+    N, G, k, pad_k, B = 45, 40, 4, 8, 8
+    X = (np.abs(rng.randn(N, G)) + 0.05).astype(np.float64)
+    seeds = rng.randint(1, 2**31 - 1, size=B)
+    x_mean = float(X.mean())
+    kwargs = {"solver": "mu", "beta_loss": "kullback-leibler", "tol": 1e-4,
+              "max_iter": 60}
+
+    mesh = build_mesh(jax.devices()[:8], cell_axis=2)
+    W_s, Ht_s, n_s = solve_nmf_batch_sharded_seeded(
+        mesh, jax.numpy.asarray(X), seeds, x_mean, k, pad_k, kwargs
+    )
+    W0, Ht0 = random_init_batch_device(x_mean, N, G, k, seeds, pad_k=pad_k,
+                                       dtype=np.float64)
+    W_p, Ht_p, n_p = nmf_multiplicative_update(
+        jax.numpy.asarray(X), W0, Ht0, beta=1.0, tol=1e-4, max_iter=60
+    )
+    np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_p))
+    np.testing.assert_allclose(np.asarray(Ht_s), np.asarray(Ht_p),
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_cell_sharded_factorize_device_init(force_device_paths, tmp_path,
+                                            monkeypatch):
+    """Pipeline-level: with CNMF_TPU_CELL_AXIS=2 the orchestrator builds a
+    (restart x cell) mesh, factorize takes the GSPMD seeded path (no host
+    noise crosses the link), and the spectra files match the single-device
+    device-init run at f64 up to psum reduction order."""
+    monkeypatch.setenv("CNMF_TPU_CELL_AXIS", "2")
+    rng = np.random.RandomState(13)
+    W = rng.gamma(0.7, 1.0, size=(110, 5))
+    H = rng.gamma(0.5, 1.0, size=(5, 170)) * (rng.rand(5, 170) < 0.35)
+    X = rng.poisson(W @ H * 2.0).astype(float)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(X, index=[f"c{i}" for i in range(110)],
+                      columns=[f"g{j}" for j in range(170)])
+    fn = str(tmp_path / "counts.txt")
+    df.to_csv(fn, sep="\t")
+    cfg = dict(components=[5], n_iter=6, seed=3, num_highvar_genes=100)
+
+    import cnmf_tpu.pipeline.cnmf as cnmf_mod
+
+    calls = []
+    orig = cnmf_mod.solve_nmf_batch_sharded_seeded
+
+    def spy(*args, **kw):
+        calls.append(np.shape(args[2]))  # seed vector
+        return orig(*args, **kw)
+
+    cnmf_mod.solve_nmf_batch_sharded_seeded = spy
+    try:
+        a = cNMF(output_dir=str(tmp_path), name="cellmesh",
+                 compute_dtype=np.float64)
+        a.prepare(counts_fn=fn, **cfg)
+        a.factorize(verbose=False, use_mesh=True)
+    finally:
+        cnmf_mod.solve_nmf_batch_sharded_seeded = orig
+    assert len(calls) == 1, "GSPMD seeded path not taken on the cell mesh"
+
+    monkeypatch.setenv("CNMF_TPU_CELL_AXIS", "1")
+    b = cNMF(output_dir=str(tmp_path), name="singledev",
+             compute_dtype=np.float64)
+    b.prepare(counts_fn=fn, **cfg)
+    b.factorize(verbose=False, use_mesh=False)
+
+    for it in range(6):
+        sa = load_df_from_npz(a.paths["iter_spectra"] % (5, it))
+        sb = load_df_from_npz(b.paths["iter_spectra"] % (5, it))
+        np.testing.assert_allclose(sa.values, sb.values,
+                                   rtol=1e-7, atol=1e-10)
+
+
+def test_cell_sharded_factorize_host_init(tmp_path, monkeypatch):
+    """Host-init (CNMF_TPU_DEVICE_INIT=0) on the cell-sharded mesh: X rows
+    pre-pad for even shards, W gets matching zero rows, and the spectra
+    files equal the single-device host-init run (same sklearn-bit-identical
+    init → f64 psum-order tolerance)."""
+    monkeypatch.setenv("CNMF_TPU_DEVICE_INIT", "0")
+    monkeypatch.setenv("CNMF_TPU_CELL_AXIS", "2")
+    rng = np.random.RandomState(17)
+    n = 109  # not divisible by 2: exercises the zero-row padding
+    W = rng.gamma(0.7, 1.0, size=(n, 4))
+    H = rng.gamma(0.5, 1.0, size=(4, 160)) * (rng.rand(4, 160) < 0.35)
+    X = rng.poisson(W @ H * 2.0).astype(float)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(X, index=[f"c{i}" for i in range(n)],
+                      columns=[f"g{j}" for j in range(160)])
+    fn = str(tmp_path / "counts.txt")
+    df.to_csv(fn, sep="\t")
+    cfg = dict(components=[4], n_iter=5, seed=8, num_highvar_genes=90)
+
+    a = cNMF(output_dir=str(tmp_path), name="cellhost",
+             compute_dtype=np.float64)
+    a.prepare(counts_fn=fn, **cfg)
+    a.factorize(verbose=False, use_mesh=True)
+
+    monkeypatch.setenv("CNMF_TPU_CELL_AXIS", "1")
+    b = cNMF(output_dir=str(tmp_path), name="singlehost",
+             compute_dtype=np.float64)
+    b.prepare(counts_fn=fn, **cfg)
+    b.factorize(verbose=False, use_mesh=False)
+
+    for it in range(5):
+        sa = load_df_from_npz(a.paths["iter_spectra"] % (4, it))
+        sb = load_df_from_npz(b.paths["iter_spectra"] % (4, it))
+        np.testing.assert_allclose(sa.values, sb.values,
+                                   rtol=1e-7, atol=1e-10)

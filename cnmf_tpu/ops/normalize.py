@@ -67,15 +67,20 @@ def normalize_total(X, target_sum: float = 1e6):
     # first-touch a full extra copy — 216 MB at the PBMC bench shape on a
     # host where fresh GB-scale pages fault at 60-180 MB/s in degraded
     # windows (measured as prepare's dominant variance term). Values are
-    # bit-identical to cast-then-multiply.
+    # bit-identical to cast-then-multiply. The output lands in a reused
+    # warm arena buffer (utils/arena) — same fresh-page motivation,
+    # measured as 2-3x inflation on repeat same-process prepares.
+    from cnmf_tpu.utils.arena import host_arena
+
+    out = host_arena.take(X.shape, out_dtype)
     return np.multiply(X, (target_sum / safe).astype(np.float64),
-                       dtype=out_dtype)
+                       dtype=out_dtype, out=out)
 
 
 
 
 def scale_unit_variance(X, ddof: int = 1, zero_safe: bool = True,
-                        return_std: bool = False):
+                        return_std: bool = False, inplace: bool = False):
     """Divide each column by its std (no centering).
 
     ``zero_safe`` maps std==0 → 1 (scanpy pp.scale semantics used on the
@@ -86,6 +91,11 @@ def scale_unit_variance(X, ddof: int = 1, zero_safe: bool = True,
     the divisor before any zero_safe mapping — so callers that need the
     per-column std again (prepare's device-norm stash) skip a second full
     pass over the matrix.
+
+    ``inplace`` (dense float input only) divides into X itself instead of
+    allocating the quotient — prepare hands an arena-backed cast buffer so
+    the whole norm stage touches no fresh GB-scale pages. Bit-identical to
+    the out-of-place divide.
     """
     if sp.issparse(X):
         n = X.shape[0]
@@ -117,7 +127,10 @@ def scale_unit_variance(X, ddof: int = 1, zero_safe: bool = True,
     raw_std = std
     if zero_safe:
         std = np.where(std == 0, 1.0, std)
-    out = X / std
+    if inplace and X.dtype.kind == "f":
+        out = np.divide(X, std, out=X)
+    else:
+        out = X / std
     return (out, raw_std) if return_std else out
 
 

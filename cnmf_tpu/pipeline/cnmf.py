@@ -764,9 +764,20 @@ class cNMF:
         # the reference only guards zero-std divisions on its sparse path
         # (scanpy pp.scale) and divides unguarded when dense — preserved
         sparse_input = sp.issparse(tpm.X)
+        if sp.issparse(norm_counts.X):
+            casted = norm_counts.X.astype(np.float64)
+        else:
+            # the f64 cast lands in a reused warm arena buffer and the
+            # scale divides it in place — the norm stage's two fresh
+            # GB-scale copies (astype + quotient) become zero (utils/arena;
+            # values bit-identical either way)
+            from cnmf_tpu.utils.arena import host_arena
+
+            casted = host_arena.take(norm_counts.X.shape, np.float64)
+            np.copyto(casted, norm_counts.X)
         norm_counts.X, hvg_std = scale_unit_variance(
-            norm_counts.X.astype(np.float64), ddof=1, zero_safe=sparse_input,
-            return_std=True,
+            casted, ddof=1, zero_safe=sparse_input,
+            return_std=True, inplace=True,
         )
         # the raw per-HVG std IS the divisor the device-norm derive needs —
         # retain it so _stash_norm_compact skips a second subset+std pass
@@ -819,7 +830,15 @@ class cNMF:
                 Xc = X.copy()
                 Xc.data = Xc.data.astype(dtype)
             else:
-                Xc = np.asarray(X).astype(dtype)
+                # the narrowed storage copy reuses a warm arena buffer —
+                # this copy is retained by the h5ad read-cache seed below,
+                # so the slot stays held (refcount-guarded) until the cache
+                # entry itself is replaced
+                from cnmf_tpu.utils.arena import host_arena
+
+                Xs = np.asarray(X)
+                Xc = host_arena.take(Xs.shape, dtype)
+                np.copyto(Xc, Xs)
             adata = AnnData(X=Xc, obs=adata.obs, var=adata.var)
 
         def write_and_seed():

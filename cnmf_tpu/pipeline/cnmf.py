@@ -1489,6 +1489,16 @@ class cNMF:
                 and restart_chunk is None
                 and not (use_mesh and len(jax.devices()) > 1)
             )
+            # CNMF_TPU_PACK_ALL='1' (default): merge EVERY bucket's true-K
+            # rows into ONE pack program and ONE d→h transfer — the round-3
+            # probe measured the serial per-slice drain at ~9 MB/s in
+            # congested relay windows, where fewer/larger transfer ops are
+            # worth ~10x; the per-bucket variant ('0') instead starts each
+            # bucket's bytes moving while the next bucket solves.
+            pack_all = (
+                pack_ok and os.environ.get("CNMF_TPU_PACK_ALL", "1") == "1"
+            )
+            all_handles = []
             buckets = {}
             for k, group in sub.groupby("n_components", sort=True):
                 k = int(k)
@@ -1512,7 +1522,9 @@ class cNMF:
                     len(hs) == 1 and isinstance(hs[0], jax.Array)
                     for _, _, hs in handles_k
                 )
-                if packable:
+                if packable and pack_all:
+                    all_handles.extend(handles_k)
+                elif packable:
                     packed = pack_spectra_true_k(
                         tuple(hs[0] for _, _, hs in handles_k),
                         ks=tuple(k for k, _, _ in handles_k),
@@ -1532,6 +1544,19 @@ class cNMF:
                             pending.append((k, iters, handles))
                         else:
                             drain(k, iters, handles)
+
+            if all_handles:
+                packed = pack_spectra_true_k(
+                    tuple(hs[0] for _, _, hs in all_handles),
+                    ks=tuple(k for k, _, _ in all_handles),
+                )
+                try:
+                    packed.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append(
+                    ([(k, iters) for k, iters, _ in all_handles], packed)
+                )
 
             for item in pending:
                 if len(item) == 2:
@@ -2186,7 +2211,8 @@ class cNMF:
                     jnp.zeros(B, bool), jnp.zeros((), jnp.int32)
                     lower("factorize", f"swap_bg_pad{pad_k}_B{B}", _swap_bg_axes,
                           SDS((B, G, pad_k), dtype))
-            if pipeline_all:
+            if pipeline_all and os.environ.get(
+                    "CNMF_TPU_PACK_ALL", "1") != "1":
                 # factorize's pack_ok also admits use_mesh=False on a
                 # multi-device host, so lower the pack regardless of
                 # device count (sub-second compile)
@@ -2195,6 +2221,20 @@ class cNMF:
                     tuple(SDS((sizes[k], pad_k, G), dtype) for k in kk),
                     ks=tuple(kk),
                 )
+        if pipeline_all and os.environ.get("CNMF_TPU_PACK_ALL", "1") == "1":
+            # the cross-bucket merged pack: one program over EVERY K's
+            # handles in (bucket, k) order — must match factorize's
+            # all_handles accumulation exactly
+            lower(
+                "factorize", "pack_all", pack_spectra_true_k,
+                tuple(
+                    SDS((sizes[k], pad_k, G), dtype)
+                    for pad_k, kk in sorted(buckets.items()) for k in kk
+                ),
+                ks=tuple(
+                    k for _, kk in sorted(buckets.items()) for k in kk
+                ),
+            )
 
         # ---- consensus / k-stats per K (mirrors consensus()) ------------
         tpm_on_device = N * Gall * 4 < self._tpm_device_limit()

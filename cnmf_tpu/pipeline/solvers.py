@@ -825,12 +825,62 @@ def refit_spectra_transposed(X, usages, nmf_kwargs, dtype=np.float32,
         P = fixed_factor_product_transposed(Ud, Xd)
         n_out = Xd.shape[1]
     W0 = jnp.zeros((1, n_out, pad_k), dtype)
+    if sp.issparse(X):
+        # over-limit atlas path on a mesh: row-shard the distilled solve
+        gram, P, W0, n_out = shard_products_rows(gram, P, W0)
     W, _ = nnls_cd_from_products(
         gram, P, W0, tol=float(nmf_kwargs.get("tol", 1e-4)),
         max_iter=int(nmf_kwargs.get("max_iter", 200)),
         l1_reg=l1_reg_W, l2_reg=l2_reg_W,
     )
-    return np.asarray(W[0, :, :k])
+    return np.asarray(W[0, :n_out, :k])
+
+
+def shard_products_rows(gram, P, W0):
+    """Mesh placement for the distilled-products refits (the over-limit
+    atlas consensus path): shard the (B, M, K) product and W0 along their
+    ROW axis over every mesh device and replicate the tiny (B, K, K) gram.
+
+    The products-distilled CD (ops.nmf.nnls_cd_from_products) is row-
+    parallel — each W row solves an independent NNLS against the shared
+    gram, coupled only through the global violation sum of the stopping
+    rule — so under GSPMD the half-sweeps partition cleanly and XLA
+    inserts one psum per sweep for the stop test. This is the pod story
+    for the >device-limit sparse consensus: the host SpMM products (the
+    only O(nnz) work) stream per shard-row block while the M-row solve
+    state (1M cells × pad_k at the atlas config) spreads across the
+    mesh's HBM (reference contrast: consensus is single-process,
+    cnmf.py:823-1082). No-op on a single device;
+    ``CNMF_TPU_MESH_PRODUCTS=0`` disables. Equivalence vs the
+    single-device solve is psum reduction order only
+    (tests/test_sparse_products.py runs this path on the virtual mesh)."""
+    n_rows = P.shape[1]
+    if (
+        len(jax.devices()) == 1
+        or os.environ.get("CNMF_TPU_MESH_PRODUCTS", "1") == "0"
+    ):
+        return gram, P, W0, n_rows
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from cnmf_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh()
+    # rows zero-pad to the device multiple (committed arrays need even
+    # shards): a zero P row keeps its zero-initialized W row at exactly 0
+    # through every half-sweep and adds nothing to the violation sum
+    n_dev = len(mesh.devices.flat)
+    pad = (-n_rows) % n_dev
+    if pad:
+        P = jnp.pad(P, ((0, 0), (0, pad), (0, 0)))
+        W0 = jnp.pad(W0, ((0, 0), (0, pad), (0, 0)))
+    row_sh = NamedSharding(mesh, PS(None, ("restart", "cell"), None))
+    rep = NamedSharding(mesh, PS())
+    return (
+        jax.device_put(gram, rep),
+        jax.device_put(P, row_sh),
+        jax.device_put(W0, row_sh),
+        n_rows,
+    )
 
 
 def refit_usages(
@@ -889,8 +939,12 @@ def refit_usages(
             P = jnp.asarray(
                 np.ascontiguousarray((X @ spectra_p), dtype=dtype)
             )[None]
+            W0 = jnp.zeros((1, X.shape[0], pad_k), dtype)
+            # over-limit atlas path on a mesh: the (cells × pad_k) solve
+            # state row-shards over the device grid
+            gram, P, W0, _ = shard_products_rows(gram, P, W0)
             W, _ = nnls_cd_from_products(
-                gram, P, jnp.zeros((1, X.shape[0], pad_k), dtype),
+                gram, P, W0,
                 tol=float(nmf_kwargs.get("tol", 1e-4)),
                 max_iter=int(nmf_kwargs.get("max_iter", 200)),
                 l1_reg=l1_reg_W, l2_reg=l2_reg_W,

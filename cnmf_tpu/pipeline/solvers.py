@@ -198,12 +198,33 @@ def solve_nmf_batch(
     use_pallas = allow_pallas and mu_pallas_eligible(
         beta, jnp.asarray(W0).dtype, shape=X.shape
     )
+    if update_H and mu_precision_ladder_enabled():
+        # CNMF_TPU_MU_PRECISION_LADDER: coarse bf16-level sweeps then a
+        # parity-precision re-convergence (ops.nmf.nmf_mu_precision_ladder,
+        # round-5 VERDICT #3)
+        from cnmf_tpu.ops.nmf import nmf_mu_precision_ladder
+
+        return nmf_mu_precision_ladder(
+            X, W0, Ht0, beta=beta, tol=tol, max_iter=max_iter,
+            update_H=update_H, l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
+            l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H, chunk=mu_chunk,
+            use_pallas_finish=use_pallas,
+        )
     return nmf_multiplicative_update(
         X, W0, Ht0, beta=beta, tol=tol, max_iter=max_iter, update_H=update_H,
         l1_reg_W=l1_reg_W, l1_reg_H=l1_reg_H,
         l2_reg_W=l2_reg_W, l2_reg_H=l2_reg_H, chunk=mu_chunk,
         use_pallas=use_pallas,
     )
+
+
+def mu_precision_ladder_enabled() -> bool:
+    """Resolve the CNMF_TPU_MU_PRECISION_LADDER knob: '1' runs beta != 2
+    factorize solves as (coarse 'default'-precision sweeps → parity-
+    precision finish); default '0' pending the on-chip A/B (TODO.md) —
+    the contract holds factors to the finishing rule's convergence level,
+    not bitwise."""
+    return os.environ.get("CNMF_TPU_MU_PRECISION_LADDER", "0") == "1"
 
 
 def solve_nmf_grid(X, W0, Ht0, nmf_kwargs: dict,

@@ -64,9 +64,9 @@ def _artifacts(obj):
     }
 
 
-def _consensus(obj, monkeypatch, knob):
+def _consensus(obj, monkeypatch, knob, show=False):
     monkeypatch.setenv("CNMF_TPU_DEVICE_KMEANSPP", knob)
-    obj.consensus(k=K, density_threshold=DT, show_clustering=False,
+    obj.consensus(k=K, density_threshold=DT, show_clustering=show,
                   close_clustergram_fig=True)
     return _artifacts(obj)
 
@@ -99,8 +99,12 @@ def test_full_fused_matches_host_seeding(run, monkeypatch):
         assert rel_sse < 1e-6, f"{name}: relative SSE {rel_sse:.3e}"
 
     # cached-density branch: the memo's values enter the program verbatim,
-    # so a re-run with the cache present reproduces the same artifacts
-    cached = _consensus(obj, monkeypatch, "force")
+    # so a re-run with the cache present reproduces the same artifacts;
+    # show=True also smokes the clustergram under the device seeding
+    cached = _consensus(obj, monkeypatch, "force", show=True)
+    import os as _os
+
+    assert _os.path.isfile(obj.paths["clustering_plot"] % (K, DT_REPL))
     for name in dev:
         np.testing.assert_allclose(
             cached[name].values, dev[name].values, rtol=1e-12, atol=1e-14,

@@ -205,11 +205,19 @@ class cNMF:
     # caller mutating a returned frame can never corrupt later stages.
     _ARTIFACT_MEMO_BYTES = int(5e8)
 
+    # memo stat sentinel: the object is authoritative while its file write
+    # is still in flight on the background writer (async combine) — recall
+    # must not stat-validate against a file that does not exist yet
+    _PENDING_STAT = (-1, -1)
+
     def _memo_artifact(self, path, obj, nbytes, stat=None):
         """``stat``: the (mtime_ns, size) pair returned by save_df_to_npz for
         the write being memoized. Passing it closes the race where another
         process rewrites ``path`` between our write and an os.stat here —
-        the memo must never pair another writer's identity with our object."""
+        the memo must never pair another writer's identity with our object.
+        Returns True when the entry was stored (callers queuing an async
+        write need to know — a declined memo means readers will fall back
+        to the FILE and must join the pending write first)."""
         if stat is not None:
             mtime_ns, size = stat
         else:
@@ -217,7 +225,7 @@ class cNMF:
                 st = os.stat(path)
                 mtime_ns, size = st.st_mtime_ns, st.st_size
             except OSError:
-                return
+                return False
         with _MEMO_LOCK:
             memo = getattr(self, "_artifact_memo", None)
             if memo is None:
@@ -226,9 +234,10 @@ class cNMF:
             prev = memo.get(path)
             used = self._artifact_memo_bytes - (prev[3] if prev else 0)
             if used + nbytes > self._ARTIFACT_MEMO_BYTES:
-                return
+                return False
             memo[path] = (mtime_ns, size, obj, nbytes)
             self._artifact_memo_bytes = used + nbytes
+            return True
 
     # per-K spectra-stack memo: factorize already holds all restarts for a K
     # as ONE (B, k, G) array before splitting it into per-iteration files; a
@@ -306,6 +315,10 @@ class cNMF:
             if not memo or path not in memo:
                 return None
             mtime_ns, size, obj, nbytes = memo[path]
+            if (mtime_ns, size) == self._PENDING_STAT:
+                # write in flight on the background writer: the memo object
+                # IS the file's future content — no stat to validate yet
+                return obj.copy() if copy else obj
             try:
                 st = os.stat(path)
                 stale = st.st_mtime_ns != mtime_ns or st.st_size != size
@@ -854,26 +867,33 @@ class cNMF:
                 cache[path] = (os.path.getmtime(path), adata)
 
         if os.environ.get("CNMF_TPU_ASYNC_WRITES", "0") == "1":
-            import concurrent.futures
-
-            with _H5AD_LOCK:
-                pool = getattr(self, "_writer_pool", None)
-                if pool is None:
-                    pool = self._writer_pool = (
-                        concurrent.futures.ThreadPoolExecutor(
-                            max_workers=1,
-                            thread_name_prefix="cnmf-tpu-writer",
-                        )
-                    )
-                pending = getattr(self, "_pending_writes", None)
-                if pending is None:
-                    pending = self._pending_writes = {}
-                pending[path] = pool.submit(write_and_seed)
+            self._submit_pending_write(path, write_and_seed)
         else:
             write_and_seed()
         # the (possibly dtype-narrowed) object a same-process read-back
         # returns — callers keying device caches must use THIS identity
         return adata
+
+    def _submit_pending_write(self, path, fn):
+        """Queue ``fn`` on the single background writer thread and register
+        it under ``path`` for join-on-read / flush-at-exit (the
+        CNMF_TPU_ASYNC_WRITES machinery — one worker, so writes retain
+        submission order)."""
+        import concurrent.futures
+
+        with _H5AD_LOCK:
+            pool = getattr(self, "_writer_pool", None)
+            if pool is None:
+                pool = self._writer_pool = (
+                    concurrent.futures.ThreadPoolExecutor(
+                        max_workers=1,
+                        thread_name_prefix="cnmf-tpu-writer",
+                    )
+                )
+            pending = getattr(self, "_pending_writes", None)
+            if pending is None:
+                pending = self._pending_writes = {}
+            pending[path] = pool.submit(fn)
 
     def _flush_pending_write(self, path):
         """Join the in-flight background write for ``path`` (if any),
@@ -2444,15 +2464,43 @@ class cNMF:
         combined_spectra = pd.DataFrame(values, index=index, columns=columns,
                                         copy=False)
         merged_path = self.paths["merged_spectra"] % k
-        st = save_df_to_npz(combined_spectra, merged_path)
         # memoize a copy-on-write slice: the live frame escapes to the caller
         # below, and a caller mutating it must not corrupt what consensus /
         # k_selection_plot later recall. Under pandas CoW the [:] slice
         # shares data until either side writes (and .values is read-only),
         # so this is a deep copy's safety at a view's cost.
-        self._memo_artifact(
-            merged_path, combined_spectra[:], values.nbytes, stat=st
-        )
+        memo_frame = combined_spectra[:]
+        if os.environ.get("CNMF_TPU_ASYNC_WRITES", "0") == "1":
+            # the merged npz (the writeback-bound bulk of combine wall)
+            # rides the background writer and overlaps consensus's device
+            # programs; the memo entry carries the PENDING sentinel so
+            # in-process readers use the object without stat validation,
+            # and the fallback file loads join the write first
+            stored = self._memo_artifact(
+                merged_path, memo_frame, values.nbytes,
+                stat=self._PENDING_STAT,
+            )
+
+            def write_merged():
+                st = save_df_to_npz(combined_spectra, merged_path)
+                with _MEMO_LOCK:
+                    memo = getattr(self, "_artifact_memo", None)
+                    entry = memo.get(merged_path) if memo else None
+                    if entry is not None and entry[2] is memo_frame:
+                        memo[merged_path] = (st[0], st[1], memo_frame,
+                                             entry[3])
+
+            if stored:
+                self._submit_pending_write(merged_path, write_merged)
+            else:
+                # memo declined (byte cap): readers would hit the FILE, so
+                # the write must be durable before this returns
+                save_df_to_npz(combined_spectra, merged_path)
+        else:
+            st = save_df_to_npz(combined_spectra, merged_path)
+            self._memo_artifact(
+                merged_path, memo_frame, values.nbytes, stat=st
+            )
         if remove_individual_iterations:
             # the reference accepts this kwarg without acting on it
             # (cnmf.py:748); here it actually deletes the per-iteration files
@@ -2526,6 +2574,8 @@ class cNMF:
             self.paths["merged_spectra"] % k, copy=False  # read-only below
         )
         if merged_spectra is None:
+            # an async combine write may still be in flight — join it
+            self._flush_pending_write(self.paths["merged_spectra"] % k)
             merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
         if norm_counts is None:
             norm_counts = self._read_h5ad_cached(self.paths["normalized_counts"])
@@ -3027,6 +3077,7 @@ class cNMF:
                 self.paths["merged_spectra"] % k, copy=False  # read-only
             )
             if merged_spectra is None:
+                self._flush_pending_write(self.paths["merged_spectra"] % k)
                 merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
             norms = np.sqrt((merged_spectra.values ** 2).sum(axis=1))
             sil_dev, sse_dev = self._dispatch_k_stats(

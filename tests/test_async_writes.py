@@ -112,3 +112,51 @@ def test_flush_surfaces_write_failure(tmp_path, counts_fn, monkeypatch):
     )
     with pytest.raises(Exception):
         obj.flush_writes()
+
+
+def test_async_combine_merged_write(tmp_path, counts_fn, monkeypatch):
+    """Round-5: combine's merged-spectra npz rides the writer thread too.
+    The memo (PENDING stat) serves in-process consensus immediately; the
+    file lands identical to the synchronous path after flush; a fresh
+    object (no memo) reads it correctly."""
+    from cnmf_tpu.io.dataframe import load_df_from_npz
+
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "0")
+    sync = _prepare(tmp_path, counts_fn, "sync_c")
+    sync.factorize(verbose=False)
+    sync.combine()
+    ref = load_df_from_npz(sync.paths["merged_spectra"] % 4)
+
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    obj = _prepare(tmp_path, counts_fn, "async_c")
+    obj.factorize(verbose=False)
+    obj.combine()
+    # consensus consumes the memo (and must not need the file yet)
+    obj.consensus(k=4, density_threshold=2.0, local_neighborhood_size=2.0,
+                  show_clustering=False)
+    obj.flush_writes()
+    got = load_df_from_npz(obj.paths["merged_spectra"] % 4)
+    np.testing.assert_array_equal(got.values, ref.values)
+    assert list(got.index) == list(ref.index)
+
+    # a fresh object (no memo) must read the durable file
+    fresh = cNMF(output_dir=str(tmp_path), name="async_c")
+    fresh.consensus(k=4, density_threshold=2.0, local_neighborhood_size=2.0,
+                    show_clustering=False)
+
+
+def test_async_combine_memo_declined_writes_synchronously(
+        tmp_path, counts_fn, monkeypatch):
+    """If the artifact memo declines the entry (byte cap), readers would
+    hit the FILE — combine must then write synchronously."""
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    obj = _prepare(tmp_path, counts_fn, "declined")
+    obj.factorize(verbose=False)
+    monkeypatch.setattr(obj, "_ARTIFACT_MEMO_BYTES", 0)
+    monkeypatch.setattr(obj, "_STACK_MEMO_BYTES", 0, raising=False)
+    obj.combine()
+    # durable immediately, without any flush
+    from cnmf_tpu.io.dataframe import load_df_from_npz
+
+    got = load_df_from_npz(obj.paths["merged_spectra"] % 4)
+    assert got.shape[0] == 2 * 4

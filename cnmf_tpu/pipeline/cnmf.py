@@ -1665,8 +1665,9 @@ class cNMF:
         # per K over a link measured at ~32 MB/s. On a restart-axis mesh the
         # init + ladder both run inside ONE shard_map program
         # (solvers.solve_nmf_sharded_device) — only the seed vector crosses
-        # the link; cell-sharded meshes keep the GSPMD path with host init
-        # (its padding/sharding helpers take host arrays).
+        # the link; cell-sharded meshes run the GSPMD seeded twin below
+        # (solvers.solve_nmf_batch_sharded_seeded), so no host noise crosses
+        # the link on ANY mesh shape.
         sharded_device_path = (
             multi_device
             and init == "random"

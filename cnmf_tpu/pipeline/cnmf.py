@@ -248,7 +248,9 @@ class cNMF:
     _STACK_MEMO_BYTES = int(5e8)
 
     def _memo_spectra_stack(self, k, file_stats, spectra_batch, gene_index):
-        """file_stats: [(iter, path, (mtime_ns, size))] in batch-row order."""
+        """file_stats: [(iter, path, (mtime_ns, size))] in batch-row order.
+        Returns True iff stored (the byte cap can decline — async callers
+        must then keep their writes durable-before-return)."""
         nbytes = spectra_batch.nbytes
         with _MEMO_LOCK:
             memo = getattr(self, "_stack_memo", None)
@@ -258,12 +260,13 @@ class cNMF:
             prev = memo.get(k)
             used = self._stack_memo_bytes - (prev[2].nbytes if prev else 0)
             if used + nbytes > self._STACK_MEMO_BYTES:
-                return
+                return False
             by_iter = {
                 it: (path, stat, row) for row, (it, path, stat) in enumerate(file_stats)
             }
             memo[k] = (by_iter, gene_index, spectra_batch)
             self._stack_memo_bytes = used + nbytes
+            return True
 
     def _recall_spectra_stack(self, k, files):
         """Return (values, columns) for the merged stack — at the batch's
@@ -283,6 +286,12 @@ class cNMF:
             hit = by_iter.get(it)
             if hit is None or hit[0] != path:
                 return None
+            if hit[1] == self._PENDING_STAT:
+                # our own write is still queued on the background writer
+                # (CNMF_TPU_ASYNC_WRITES): the memoized batch IS the file's
+                # future content — no stat to validate yet
+                rows.append(hit[2])
+                continue
             try:
                 st = os.stat(path)
             except OSError:
@@ -305,6 +314,20 @@ class cNMF:
             # the pages
             values = batch[rows].reshape(-1, batch.shape[2])
         return values, gene_index
+
+    def _settle_stack_stat(self, k, it, path, stat):
+        """Replace a PENDING per-iteration stat in the K-stack memo with the
+        real write-time stat (runs on the writer thread once the file is
+        durable). Guarded: a later factorize may have replaced the K entry —
+        only settle the exact (iter, path) pair still marked PENDING."""
+        with _MEMO_LOCK:
+            memo = getattr(self, "_stack_memo", None)
+            entry = memo.get(k) if memo else None
+            if entry is None:
+                return
+            hit = entry[0].get(it)
+            if hit is not None and hit[0] == path and hit[1] == self._PENDING_STAT:
+                entry[0][it] = (path, stat, hit[2])
 
     def _recall_artifact(self, path, copy=True):
         """``copy=False`` skips the defensive copy — only for internal
@@ -874,11 +897,12 @@ class cNMF:
         # returns — callers keying device caches must use THIS identity
         return adata
 
-    def _submit_pending_write(self, path, fn):
+    def _submit_pending_write(self, path, fn, extra_paths=()):
         """Queue ``fn`` on the single background writer thread and register
         it under ``path`` for join-on-read / flush-at-exit (the
         CNMF_TPU_ASYNC_WRITES machinery — one worker, so writes retain
-        submission order)."""
+        submission order). ``extra_paths``: additional paths the same ``fn``
+        produces (flushing any of them joins the one future)."""
         import concurrent.futures
 
         with _H5AD_LOCK:
@@ -893,7 +917,17 @@ class cNMF:
             pending = getattr(self, "_pending_writes", None)
             if pending is None:
                 pending = self._pending_writes = {}
-            pending[path] = pool.submit(fn)
+            fut = pool.submit(fn)
+            pending[path] = fut
+            for p in extra_paths:
+                pending[p] = fut
+
+    def _write_pending(self, path):
+        """True iff a background write for ``path`` is queued/in flight —
+        used where file EXISTENCE gates behavior (combine's per-iteration
+        scan): a pending own write counts as existing."""
+        with _H5AD_LOCK:
+            return path in (getattr(self, "_pending_writes", None) or {})
 
     def _flush_pending_write(self, path):
         """Join the in-flight background write for ``path`` (if any),
@@ -1300,6 +1334,54 @@ class cNMF:
                     self._memo_artifact(path, spectra, spectra.values.nbytes, stat=st)
                     return int(it), path, st
 
+                if (
+                    pipeline_all
+                    and os.environ.get("CNMF_TPU_ASYNC_WRITES", "0") == "1"
+                ):
+                    # CNMF_TPU_ASYNC_WRITES: the per-iteration npz writes ride
+                    # the background writer thread PAST factorize's return, so
+                    # the last K's write tail (~0.9 s at bench scale) overlaps
+                    # consensus's device programs instead of sitting on the
+                    # factorize critical path. The K-stack memo is populated
+                    # NOW with PENDING stats (the batch is authoritative while
+                    # our own writes are in flight — same sentinel as the
+                    # async combine), so a same-process combine needs no join;
+                    # its file-existence scan counts pending paths as
+                    # existing (_write_pending). Durability semantics are the
+                    # knob's documented contract: flush_writes()/CLI-exit
+                    # joins everything.
+                    stats = [
+                        (int(it), self.paths["iter_spectra"] % (k, int(it)),
+                         self._PENDING_STAT)
+                        for it in iters
+                    ]
+                    if self._memo_spectra_stack(
+                        k, stats, spectra_batch, gene_index
+                    ):
+                        for i, it in enumerate(iters):
+                            path = self.paths["iter_spectra"] % (k, int(it))
+
+                            def write_iter(i=i, it=int(it), path=path, k=k,
+                                           spectra_batch=spectra_batch):
+                                # frame construction happens HERE, on the
+                                # writer thread — off the factorize tail
+                                spectra = pd.DataFrame(
+                                    spectra_batch[i],
+                                    index=np.arange(1, k + 1),
+                                    columns=gene_index,
+                                )
+                                st = save_df_to_npz(spectra, path)
+                                self._memo_artifact(
+                                    path, spectra, spectra.values.nbytes,
+                                    stat=st,
+                                )
+                                self._settle_stack_stat(k, it, path, st)
+
+                            self._submit_pending_write(path, write_iter)
+                        return
+                    # stack memo declined (byte cap): a same-process combine
+                    # would have to read the FILES, so fall through to the
+                    # durable-before-return paths below
                 if pipeline_all:
                     # submit-and-move-on: the npz writes ride the pool while
                     # the main thread waits on the NEXT K's solve/fetch (GIL
@@ -2419,7 +2501,12 @@ class cNMF:
         files = []
         for _, p in run_params_subset.iterrows():
             current_file = self.paths["iter_spectra"] % (p["n_components"], p["iter"])
-            if not os.path.exists(current_file):
+            # a pending background write of our own (CNMF_TPU_ASYNC_WRITES)
+            # counts as existing: the stack memo serves its content, and the
+            # file-read fallback joins the write first
+            if not os.path.exists(current_file) and not self._write_pending(
+                current_file
+            ):
                 if not skip_missing_files:
                     print(
                         "Missing file: %s, run with skip_missing=True to override"
@@ -2451,7 +2538,11 @@ class cNMF:
             def read_one(f):
                 # read-only consumer: values are concatenated immediately
                 hit = self._recall_artifact(f[1], copy=False)
-                return hit if hit is not None else load_df_from_npz(f[1])
+                if hit is not None:
+                    return hit
+                # an async factorize write may still be in flight — join it
+                self._flush_pending_write(f[1])
+                return load_df_from_npz(f[1])
 
             with ThreadPoolExecutor(max_workers=8) as pool:
                 frames = list(pool.map(read_one, files))
@@ -2506,6 +2597,10 @@ class cNMF:
             # the reference accepts this kwarg without acting on it
             # (cnmf.py:748); here it actually deletes the per-iteration files
             for _, f in files:
+                # join any in-flight background write first — removing a
+                # path whose write is queued would let the writer re-create
+                # the file after the delete
+                self._flush_pending_write(f)
                 os.remove(f)
         return combined_spectra
 
@@ -2943,8 +3038,42 @@ class cNMF:
             (save_df_to_text, usage_coef,
              self.paths["gene_spectra_score__txt"] % (k, density_threshold_repl)),
         ]
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            list(pool.map(lambda w: w[0](w[1], w[2]), writes))
+        if os.environ.get("CNMF_TPU_ASYNC_WRITES", "0") == "1":
+            # the eight result files ride the background writer (one thread,
+            # submission order) and overlap whatever runs next — their npz
+            # compression + txt rendering is a real share of consensus wall
+            # on this 1-vCPU host. npz frames are memoized (PENDING sentinel)
+            # so in-process readers skip the file; a memo-declined npz write
+            # stays synchronous (readers would hit the file). txt consumers
+            # (load_results, build_reference) flush-on-read. build_reference
+            # queues BEHIND these below, so its txt read-back is durable.
+            for fn, frame, path in writes:
+                if fn is save_df_to_npz:
+                    stored = self._memo_artifact(
+                        path, frame, frame.values.nbytes,
+                        stat=self._PENDING_STAT,
+                    )
+                    if not stored:
+                        fn(frame, path)
+                        continue
+
+                    def write_npz(frame=frame, path=path):
+                        st = save_df_to_npz(frame, path)
+                        with _MEMO_LOCK:
+                            memo = getattr(self, "_artifact_memo", None)
+                            entry = memo.get(path) if memo else None
+                            if entry is not None and entry[2] is frame:
+                                memo[path] = (st[0], st[1], frame, entry[3])
+
+                    self._submit_pending_write(path, write_npz)
+                else:
+                    self._submit_pending_write(
+                        path,
+                        lambda fn=fn, frame=frame, path=path: fn(frame, path),
+                    )
+        else:
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(lambda w: w[0](w[1], w[2]), writes))
 
         _mark("writes")
         if show_clustering:
@@ -2964,7 +3093,22 @@ class cNMF:
             )
 
         if build_ref:
-            self.build_reference(k, density_threshold)
+            if os.environ.get("CNMF_TPU_ASYNC_WRITES", "0") == "1":
+                # queued AFTER the eight result writes on the same single
+                # writer thread, so the gene_spectra_tpm txt it reads back
+                # (the contract's float round-trip, reference cnmf.py:1098)
+                # is already durable when it runs; both starcat outputs
+                # register against the one future
+                self._submit_pending_write(
+                    self.paths["starcat_spectra"] % (k, density_threshold_repl),
+                    lambda: self.build_reference(k, density_threshold),
+                    extra_paths=(
+                        self.paths["starcat_spectra__txt"]
+                        % (k, density_threshold_repl),
+                    ),
+                )
+            else:
+                self.build_reference(k, density_threshold)
         _mark("plots+ref")
         if _trace:
             import sys
@@ -2989,6 +3133,11 @@ class cNMF:
         reload from the TEXT file, not the npz, so the float round-trip
         through the txt formatting is part of the output."""
         dt_tag = str(density_threshold).replace(".", "_")
+        # a consensus with CNMF_TPU_ASYNC_WRITES=1 may still have the txt in
+        # flight on the background writer; join it (when build_reference
+        # itself runs ON the writer thread — queued by consensus — the txt
+        # write is already complete: the one writer runs FIFO)
+        self._flush_pending_write(self.paths["gene_spectra_tpm__txt"] % (k, dt_tag))
         geps = pd.read_csv(
             self.paths["gene_spectra_tpm__txt"] % (k, dt_tag), index_col=0, sep="\t"
         )
@@ -3112,6 +3261,8 @@ class cNMF:
         dt_tag = str(density_threshold).replace(".", "_")
 
         def read_t(key):
+            # join an in-flight background write (CNMF_TPU_ASYNC_WRITES)
+            self._flush_pending_write(self.paths[key] % (K, dt_tag))
             return pd.read_csv(
                 self.paths[key] % (K, dt_tag), sep="\t", index_col=0
             )

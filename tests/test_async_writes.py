@@ -73,6 +73,8 @@ def test_end_to_end_pipeline_with_async_writes(tmp_path, counts_fn, monkeypatch)
     obj.factorize(verbose=False)
     obj.combine()
     obj.consensus(k=4, density_threshold=2.0, show_clustering=False)
+    # round-5: consensus artifacts ride the writer too — durable after flush
+    obj.flush_writes()
     assert os.path.exists(
         obj.paths["consensus_spectra__txt"] % (4, "2_0")
     )
@@ -160,3 +162,137 @@ def test_async_combine_memo_declined_writes_synchronously(
 
     got = load_df_from_npz(obj.paths["merged_spectra"] % 4)
     assert got.shape[0] == 2 * 4
+
+
+# ----------------------------------------------------------------------
+# round-5: factorize's per-iteration writes and consensus's result files
+# ride the background writer too
+# ----------------------------------------------------------------------
+
+def _artifact_paths(obj, k, dt):
+    keys = ["consensus_spectra", "consensus_usages", "gene_spectra_tpm",
+            "gene_spectra_score", "starcat_spectra"]
+    out = []
+    for key in keys:
+        out.append(obj.paths[key] % (k, dt))
+        out.append(obj.paths[key + "__txt"] % (k, dt))
+    return out
+
+
+def test_async_consensus_artifacts_match_sync(tmp_path, counts_fn, monkeypatch):
+    """All ten consensus/build_reference artifacts (npz + txt) land
+    byte-identical to the synchronous path after flush — including the
+    build_reference txt-round-trip quirk (reference cnmf.py:1098)."""
+    from cnmf_tpu.io.dataframe import load_df_from_npz
+
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "0")
+    sync = _prepare(tmp_path, counts_fn, "sync_k")
+    sync.factorize(verbose=False)
+    sync.combine()
+    sync.consensus(k=4, density_threshold=2.0, local_neighborhood_size=2.0,
+                   show_clustering=False)
+
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    obj = _prepare(tmp_path, counts_fn, "async_k")
+    obj.factorize(verbose=False)
+    obj.combine()
+    obj.consensus(k=4, density_threshold=2.0, local_neighborhood_size=2.0,
+                  show_clustering=False)
+    obj.flush_writes()
+
+    for p_sync, p_async in zip(_artifact_paths(sync, 4, "2_0"),
+                               _artifact_paths(obj, 4, "2_0")):
+        if p_sync.endswith(".txt"):
+            with open(p_sync, "rb") as a, open(p_async, "rb") as b:
+                assert a.read() == b.read(), p_async
+        else:
+            a = load_df_from_npz(p_sync)
+            b = load_df_from_npz(p_async)
+            np.testing.assert_array_equal(a.values, b.values)
+            assert list(a.index) == list(b.index)
+
+
+def test_factorize_iter_writes_pending_combine_uses_stack_memo(
+        tmp_path, counts_fn, monkeypatch):
+    """With the writer deterministically stalled, factorize's per-iteration
+    files are NOT on disk when combine runs: the existence scan must count
+    the pending writes as existing and the stack memo must serve the
+    content; files land identical after flush."""
+    import threading
+
+    from cnmf_tpu.io.dataframe import load_df_from_npz
+
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    obj = _prepare(tmp_path, counts_fn, "stall")
+    obj.flush_writes()  # prepare artifacts durable; writer idle
+    gate = threading.Event()
+    obj._submit_pending_write("__test_stall__", gate.wait)
+    obj.factorize(verbose=False)
+    k = 4
+    path0 = obj.paths["iter_spectra"] % (k, 0)
+    assert not os.path.exists(path0)
+    assert obj._write_pending(path0)
+    obj.combine()
+    gate.set()
+    obj.flush_writes()
+    assert os.path.exists(path0)
+    merged = load_df_from_npz(obj.paths["merged_spectra"] % k)
+    assert merged.shape[0] == 2 * k
+    f0 = load_df_from_npz(path0)
+    np.testing.assert_array_equal(f0.values, merged.values[:k])
+
+
+def test_factorize_stack_memo_declined_stays_durable(
+        tmp_path, counts_fn, monkeypatch):
+    """If the K-stack memo declines (byte cap), factorize must keep its
+    per-iteration writes durable-before-return (a same-process combine
+    would read the FILES)."""
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    obj = _prepare(tmp_path, counts_fn, "nostack")
+    obj.flush_writes()
+    monkeypatch.setattr(obj, "_STACK_MEMO_BYTES", 0, raising=False)
+    obj.factorize(verbose=False)
+    for it in range(2):
+        assert os.path.exists(obj.paths["iter_spectra"] % (4, it))
+    obj.combine()
+    obj.flush_writes()
+
+
+def test_load_results_joins_pending_consensus_writes(
+        tmp_path, counts_fn, monkeypatch):
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    obj = _prepare(tmp_path, counts_fn, "lr")
+    obj.factorize(verbose=False)
+    obj.combine()
+    obj.consensus(k=4, density_threshold=2.0, local_neighborhood_size=2.0,
+                  show_clustering=False)
+    # no flush: load_results must join the in-flight txt writes
+    usage, scores, tpm, top = obj.load_results(4, 2.0)
+    assert usage.shape == (60, 4)
+    assert scores.shape[1] == 4
+    obj.flush_writes()
+
+
+def test_build_reference_joins_pending_txt(tmp_path, counts_fn, monkeypatch):
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    obj = _prepare(tmp_path, counts_fn, "br")
+    obj.factorize(verbose=False)
+    obj.combine()
+    obj.consensus(k=4, density_threshold=2.0, local_neighborhood_size=2.0,
+                  show_clustering=False, build_ref=False)
+    # direct call with the gene_spectra_tpm txt still in flight
+    obj.build_reference(4, 2.0)
+    obj.flush_writes()
+    assert os.path.exists(obj.paths["starcat_spectra__txt"] % (4, "2_0"))
+
+
+def test_remove_individual_iterations_joins_pending_writes(
+        tmp_path, counts_fn, monkeypatch):
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    obj = _prepare(tmp_path, counts_fn, "rm")
+    obj.factorize(verbose=False)
+    obj.combine_nmf(4, remove_individual_iterations=True)
+    obj.flush_writes()
+    for it in range(2):
+        assert not os.path.exists(obj.paths["iter_spectra"] % (4, it))
+    assert os.path.exists(obj.paths["merged_spectra"] % 4)

@@ -456,13 +456,17 @@ def _knn_density_inline(Xp, n_real, n_neighbors):
         "n_cluster_pad", "n_init", "n_local_trials", "lloyd_max_iter",
         "solver", "beta", "tol", "max_iter", "mu_chunk", "use_pallas",
         "n_cells", "n_hvgs", "alpha_W", "l1_ratio", "refit_usage",
-        "normalize_tpm", "zero_safe_std",
+        "normalize_tpm", "zero_safe_std", "normalize_rows", "r_pad",
     ),
 )
 def _fused_consensus_full(
     Xnc,           # (Nt, G) normalized counts (cell-padded ok)
     tpm,           # (Nt2, Gall) full-gene TPM (cell-padded ok)
-    l2p,           # (Rp, G) zero-padded FULL L2 spectra (unfiltered)
+    l2p,           # (Rp, G) zero-padded FULL L2 spectra (unfiltered) — or,
+                   # with normalize_rows=True, the (R, G) RAW merged spectra
+                   # (device-resident from a same-process factorize): rows
+                   # are L2-normalized and zero-padded to r_pad HERE, so no
+                   # host copy of the spectra ever crosses the link
     density_in,    # (Rp,) cached density values (zeros when none)
     use_cached,    # scalar bool: pick density_in over the recompute
     thresh,        # scalar: density threshold
@@ -491,8 +495,19 @@ def _fused_consensus_full(
     refit_usage: bool,
     normalize_tpm: bool,
     zero_safe_std: bool,
+    normalize_rows: bool = False,
+    r_pad: int = 0,
 ):
     dtype = l2p.dtype
+    if normalize_rows:
+        # device-resident raw spectra: mirror the host's
+        # ``values / sqrt((values**2).sum(1))`` row normalization (consensus
+        # L2 step, reference cnmf.py:880) and the zero-pad to the point
+        # bucket — all-zero rows (impossible for converged NMF spectra but
+        # cheap to guard) stay zero instead of dividing by 0
+        norms = jnp.sqrt(jnp.sum(l2p * l2p, axis=1, keepdims=True))
+        l2n = l2p / jnp.where(norms > 0, norms, 1.0)
+        l2p = jnp.zeros((r_pad, l2p.shape[1]), dtype).at[: l2p.shape[0]].set(l2n)
     Rp = l2p.shape[0]
     # density: always traced (one program identity for hit and miss; the
     # recompute is one R×R matmul + the min-extraction loop, trivial device
@@ -584,17 +599,31 @@ def fused_consensus_full(
        usage_coef (k, Gall))``
 
     where the caller recovers the filter mask as ``density < threshold``.
+
+    ``l2_spectra`` may be a DEVICE array of the RAW (un-normalized) merged
+    spectra — e.g. the packed true-K buffer a same-process factorize left on
+    device — in which case the L2 row normalization and the point-bucket
+    zero-pad run inside the program and no spectra bytes cross the link.
     """
-    X = np.ascontiguousarray(l2_spectra)
-    R = X.shape[0]
+    on_device = isinstance(l2_spectra, jax.Array)
+    if on_device:
+        R = l2_spectra.shape[0]
+        np_dtype = np.dtype(l2_spectra.dtype)
+    else:
+        X = np.ascontiguousarray(l2_spectra)
+        R = X.shape[0]
+        np_dtype = X.dtype
     Rp = -(-R // pad_points_to) * pad_points_to
     Kp = -(-k // pad_clusters_to) * pad_clusters_to
-    l2p = np.zeros((Rp, X.shape[1]), dtype=X.dtype)
-    l2p[:R] = X
+    if on_device:
+        l2p = l2_spectra
+    else:
+        l2p = np.zeros((Rp, X.shape[1]), dtype=np_dtype)
+        l2p[:R] = X
     use_cached = cached_density is not None
-    dens_in = np.zeros(Rp, dtype=X.dtype)
+    dens_in = np.zeros(Rp, dtype=np_dtype)
     if use_cached:
-        dens_in[:R] = np.asarray(cached_density, dtype=X.dtype).ravel()
+        dens_in[:R] = np.asarray(cached_density, dtype=np_dtype).ravel()
 
     # threefry key words built on host — an eager jax.random.PRNGKey would
     # dispatch its own tiny seeding program through the relay
@@ -605,11 +634,14 @@ def fused_consensus_full(
     (density, n_points, labels, median_n, rf, spectra_tpm, XtX, XtY,
      final_usages) = _fused_consensus_full(
         Xnc, tpm, l2p, dens_in, np.bool_(use_cached),
-        np.asarray(density_threshold, dtype=X.dtype),
+        np.asarray(density_threshold, dtype=np_dtype),
         np.int32(R), np.int32(n_neighbors),
         key,
-        np.asarray(lloyd_tol, dtype=X.dtype), np.int32(k),
-        np.ascontiguousarray(tpm_std, dtype=np.asarray(Xnc).dtype),
+        np.asarray(lloyd_tol, dtype=np_dtype), np.int32(k),
+        # Xnc.dtype, NOT np.asarray(Xnc).dtype: Xnc is usually a committed
+        # device array and np.asarray would fetch the WHOLE matrix through
+        # the relay just to read its dtype
+        np.ascontiguousarray(tpm_std, dtype=Xnc.dtype),
         np.ascontiguousarray(hvg_idx, dtype=np.int32),
         n_cluster_pad=Kp, n_init=int(n_init),
         n_local_trials=2 + int(np.log(k)), lloyd_max_iter=lloyd_max_iter,
@@ -619,6 +651,7 @@ def fused_consensus_full(
         alpha_W=float(alpha_W), l1_ratio=float(l1_ratio),
         refit_usage=bool(refit_usage), normalize_tpm=bool(normalize_tpm),
         zero_safe_std=bool(zero_safe_std),
+        normalize_rows=on_device, r_pad=Rp if on_device else 0,
     )
 
     # single drain; survivor-count errors mirror the reference's

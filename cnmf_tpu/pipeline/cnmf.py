@@ -65,6 +65,7 @@ from cnmf_tpu.pipeline.solvers import (
     device_init_enabled,
     device_kmeanspp_enabled,
     device_ladder_enabled,
+    device_spectra_enabled,
     mu_pallas_eligible,
     refit_spectra_transposed,
     refit_usages,
@@ -103,6 +104,28 @@ DEFAULT_DENSITY_THRESHOLD = 0.5
 # row schema of the consensus stats / k_selection table (reference
 # cnmf.py:932-934)
 K_STATS_FIELDS = ["k", "local_density_threshold", "silhouette", "prediction_error"]
+
+
+class _PendingBatch:
+    """Placeholder for a K's (B, k, G) spectra batch whose device→host drain
+    is still in flight on the background writer (deferred packed drain,
+    CNMF_TPU_ASYNC_WRITES=1): factorize returns as soon as the solves are
+    dispatched and the transfer is queued; the writer thread lands the bytes,
+    sets ``value`` and then ``event``. A failed drain leaves ``value`` None —
+    readers fall back to the per-iteration FILES, whose reads join the writer
+    future and re-raise the real error."""
+
+    __slots__ = ("event", "value", "shape", "nbytes")
+
+    def __init__(self, shape, nbytes):
+        self.event = threading.Event()
+        self.value = None
+        self.shape = shape
+        self.nbytes = nbytes
+
+    def wait(self):
+        self.event.wait()
+        return self.value
 
 
 def worker_filter(iterable, worker_index, total_workers):
@@ -190,12 +213,22 @@ class cNMF:
         just wrote and break the object-identity keys of the compact-counts
         stashes (ops/device_tpm)."""
         self._join_tpm_prefetch()  # an in-flight upload would repopulate
-        attrs = ["_norm_counts_dev_cache", "_tpm_dev_cache", "_ints_dev"]
+        attrs = ["_norm_counts_dev_cache", "_tpm_dev_cache", "_ints_dev",
+                 "_merged_dev"]
         if host_caches:
             attrs.append("_h5ad_cache")
         for attr in attrs:
             if hasattr(self, attr):
                 delattr(self, attr)
+        # the spectra-stack memo's device twins pin the packed factorize
+        # buffer in HBM; drop the handles, keep the host batches (the memo
+        # stays a valid combine fast path)
+        with _MEMO_LOCK:
+            memo = getattr(self, "_stack_memo", None)
+            if memo:
+                for k_, entry in list(memo.items()):
+                    if entry[3] is not None:
+                        memo[k_] = entry[:3] + (None,)
 
     # in-process artifact memo: stages still WRITE every §2.9 file (the
     # on-disk contract is the reference's restart/elasticity story), but a
@@ -247,10 +280,15 @@ class cNMF:
     # out-of-band rewrites fall back to reading the files.
     _STACK_MEMO_BYTES = int(5e8)
 
-    def _memo_spectra_stack(self, k, file_stats, spectra_batch, gene_index):
+    def _memo_spectra_stack(self, k, file_stats, spectra_batch, gene_index,
+                            dev=None):
         """file_stats: [(iter, path, (mtime_ns, size))] in batch-row order.
         Returns True iff stored (the byte cap can decline — async callers
-        must then keep their writes durable-before-return)."""
+        must then keep their writes durable-before-return).
+        ``dev``: optional (packed_device_array, row_offset, n_rows) locating
+        this K's true-K spectra inside the device buffer factorize packed —
+        a same-process consensus can consume it without re-uploading the
+        merged copy (CNMF_TPU_DEVICE_SPECTRA)."""
         nbytes = spectra_batch.nbytes
         with _MEMO_LOCK:
             memo = getattr(self, "_stack_memo", None)
@@ -264,21 +302,28 @@ class cNMF:
             by_iter = {
                 it: (path, stat, row) for row, (it, path, stat) in enumerate(file_stats)
             }
-            memo[k] = (by_iter, gene_index, spectra_batch)
+            memo[k] = (by_iter, gene_index, spectra_batch, dev)
             self._stack_memo_bytes = used + nbytes
             return True
 
-    def _recall_spectra_stack(self, k, files):
-        """Return (values, columns) for the merged stack — at the batch's
-        own dtype — iff the memo covers EXACTLY the requested (iter, path)
-        list and every file on disk still carries the stat captured at write
-        time; else None."""
+    def _recall_spectra_stack(self, k, files, join=True):
+        """Return (values, columns, dev) for the merged stack — at the
+        batch's own dtype — iff the memo covers EXACTLY the requested
+        (iter, path) list and every file on disk still carries the stat
+        captured at write time; else None. ``dev`` is the device twin
+        descriptor (or None) — only returned for a complete IN-ORDER run,
+        where the device rows and the merged rows coincide.
+
+        ``join=False``: when the batch is still a _PendingBatch (deferred
+        packed drain) return it UNJOINED in the values slot instead of
+        blocking — only for an in-order run (callers consume the batch
+        whole); out-of-order recalls join regardless."""
         with _MEMO_LOCK:
             memo = getattr(self, "_stack_memo", None)
             entry = memo.get(k) if memo else None
         if entry is None:
             return None
-        by_iter, gene_index, batch = entry
+        by_iter, gene_index, batch, dev = entry
         if len(files) != len(by_iter):
             return None
         rows = []
@@ -299,6 +344,15 @@ class cNMF:
             if (st.st_mtime_ns, st.st_size) != hit[1]:
                 return None
             rows.append(hit[2])
+        if isinstance(batch, _PendingBatch):
+            in_order = rows == list(range(batch.shape[0]))
+            if not join and in_order:
+                return batch, gene_index, dev
+            batch = batch.wait()
+            if batch is None:
+                # the drain failed: fall back to the files, whose reads join
+                # the writer future and re-raise the real error
+                return None
         if rows == list(range(batch.shape[0])):
             # complete in-order run (the common case): reshape is a VIEW of
             # the already-warm batch — the merged write streams straight from
@@ -311,9 +365,115 @@ class cNMF:
         else:
             # the fancy index is a fresh contiguous copy at batch dtype;
             # upcasting it to f64 would change no value, only fault twice
-            # the pages
+            # the pages. Row order differs from the device twin's, so the
+            # twin does not apply.
             values = batch[rows].reshape(-1, batch.shape[2])
-        return values, gene_index
+            dev = None
+        return values, gene_index, dev
+
+    def _device_spectra_twin(self, k, merged_frame):
+        """The (R, G) device-resident RAW merged spectra for ``k`` — the
+        packed true-K buffer a same-process factorize left on device — iff
+        CNMF_TPU_DEVICE_SPECTRA applies and the registered twin describes
+        EXACTLY the merged frame just recalled (weakref identity: the twin
+        dies with the memo entry it was built against). The fused consensus
+        L2-normalizes and pads it in-program, so no spectra bytes cross the
+        link. Returns a device array or None (host path)."""
+        if merged_frame is None or not device_spectra_enabled():
+            return None
+        with _MEMO_LOCK:
+            twins = getattr(self, "_merged_dev", None)
+            entry = (
+                twins.get(self.paths["merged_spectra"] % k) if twins else None
+            )
+        if entry is None:
+            return None
+        wr, (packed, off, rows) = entry
+        if wr() is not merged_frame:
+            return None
+        try:
+            return packed[off:off + rows]
+        except Exception:
+            # the device buffer may have been donated/deleted by a cache
+            # clear — the host path is always correct
+            return None
+
+    def _defer_merged_write(self, k, pb, columns, files, dev_twin):
+        """Queue the merged-spectra build+write for ``k`` on the background
+        writer while factorize's packed drain is still in flight
+        (CNMF_TPU_ASYNC_WRITES=1). Registers `_merged_meta` — the (index,
+        columns, placeholder, device-twin) a same-process consensus can run
+        from without touching host values — keyed to the queued future so a
+        stale registration never outlives its write. Returns None (only
+        combine()'s fan-out calls this; it discards per-K returns)."""
+        merged_path = self.paths["merged_spectra"] % k
+        index = [
+            "iter%d_topic%d" % (it, t + 1) for (it, _) in files
+            for t in range(k)
+        ]
+
+        def merge_and_write(pb=pb, index=index, columns=columns,
+                            merged_path=merged_path, dev_twin=dev_twin):
+            batch = pb.wait()
+            if batch is None:
+                raise RuntimeError(
+                    "deferred spectra drain failed — merged stack for k=%d "
+                    "not built" % k
+                )
+            values = batch.reshape(-1, batch.shape[2])
+            try:
+                values.flags.writeable = False
+            except ValueError:
+                pass
+            frame = pd.DataFrame(values, index=index, columns=columns,
+                                 copy=False)
+            st = save_df_to_npz(frame, merged_path)
+            stored = self._memo_artifact(
+                merged_path, frame, values.nbytes, stat=st
+            )
+            if stored and dev_twin is not None:
+                import weakref
+
+                with _MEMO_LOCK:
+                    twins = getattr(self, "_merged_dev", None)
+                    if twins is None:
+                        twins = self._merged_dev = {}
+                    twins[merged_path] = (weakref.ref(frame), dev_twin)
+
+        with _H5AD_LOCK:
+            # drop a previous run's registration BEFORE queueing: a reader
+            # between the (old) pop and the (new) submit must see no meta
+            # rather than a stale one
+            metas = getattr(self, "_merged_meta", None)
+            if metas is not None:
+                metas.pop(merged_path, None)
+        self._submit_pending_write(merged_path, merge_and_write)
+        with _H5AD_LOCK:
+            fut = self._pending_writes.get(merged_path)
+            metas = getattr(self, "_merged_meta", None)
+            if metas is None:
+                metas = self._merged_meta = {}
+            metas[merged_path] = (fut, pd.Index(index), columns, pb, dev_twin)
+        return None
+
+    def _deferred_merged_meta(self, merged_path):
+        """The (index, columns, placeholder, device-twin) registered for a
+        merged stack whose build is still queued on the writer — valid only
+        while the registered future IS the path's current pending write
+        (once flushed or superseded, readers must go through the memo/file,
+        which carry the authoritative content)."""
+        with _H5AD_LOCK:
+            metas = getattr(self, "_merged_meta", None)
+            meta = metas.get(merged_path) if metas else None
+            if meta is None:
+                return None
+            cur = (getattr(self, "_pending_writes", None) or {}).get(
+                merged_path
+            )
+        fut, index, columns, pb, dev_twin = meta
+        if cur is not fut:
+            return None
+        return index, columns, pb, dev_twin
 
     def _settle_stack_stat(self, k, it, path, stat):
         """Replace a PENDING per-iteration stat in the K-stack memo with the
@@ -1267,10 +1427,10 @@ class cNMF:
                 # K's stack (write-time stats validate the memo); runs inside
                 # the pool's lifetime on EVERY exit path
                 while deferred_writes:
-                    k_, futs, batch, gidx = deferred_writes.pop(0)
+                    k_, futs, batch, gidx, dev_ = deferred_writes.pop(0)
                     _tw = _time.perf_counter()
                     stats = [f.result() for f in futs]
-                    self._memo_spectra_stack(k_, stats, batch, gidx)
+                    self._memo_spectra_stack(k_, stats, batch, gidx, dev=dev_)
                     if phases is not None:
                         with self._phases_lock:
                             phases["write_s"] += _time.perf_counter() - _tw
@@ -1316,7 +1476,7 @@ class cNMF:
                     with self._phases_lock:
                         phases["write_s"] += _time.perf_counter() - _t2
 
-            def _submit_writes(k, iters, spectra_batch):
+            def _submit_writes(k, iters, spectra_batch, dev=None):
                 def write_one(args, k=k, spectra_batch=spectra_batch):
                     i, it = args
                     # stored at the solver's dtype: an f64 upcast would add
@@ -1356,7 +1516,7 @@ class cNMF:
                         for it in iters
                     ]
                     if self._memo_spectra_stack(
-                        k, stats, spectra_batch, gene_index
+                        k, stats, spectra_batch, gene_index, dev=dev
                     ):
                         for i, it in enumerate(iters):
                             path = self.paths["iter_spectra"] % (k, int(it))
@@ -1394,11 +1554,12 @@ class cNMF:
                         for i, it in enumerate(iters)
                     ]
                     deferred_writes.append(
-                        (k, futs, spectra_batch, gene_index)
+                        (k, futs, spectra_batch, gene_index, dev)
                     )
                 else:
                     stats = list(pool.map(write_one, enumerate(iters)))
-                    self._memo_spectra_stack(k, stats, spectra_batch, gene_index)
+                    self._memo_spectra_stack(k, stats, spectra_batch,
+                                             gene_index, dev=dev)
 
             def drain_packed(entries, packed):
                 # one packed (Σ B·k, G) buffer per pad bucket
@@ -1422,13 +1583,111 @@ class cNMF:
                 _tw = _time.perf_counter()
                 G = arr.shape[1]
                 off = 0
+                keep_dev = isinstance(packed, jax.Array)
                 for k, iters in entries:
                     B = len(iters)
-                    _submit_writes(k, iters, arr[off:off + B * k].reshape(B, k, G))
+                    _submit_writes(
+                        k, iters, arr[off:off + B * k].reshape(B, k, G),
+                        # device twin: this K's true-K rows inside the packed
+                        # device buffer — a same-process consensus can consume
+                        # them without re-uploading (CNMF_TPU_DEVICE_SPECTRA)
+                        dev=(packed, off, B * k) if keep_dev else None,
+                    )
                     off += B * k
                 if phases is not None:
                     with self._phases_lock:
                         phases["write_s"] += _time.perf_counter() - _tw
+
+            def defer_packed(entries, packed):
+                """Deferred packed drain (CNMF_TPU_ASYNC_WRITES=1): register
+                the K-stack memos with _PendingBatch placeholders + PENDING
+                per-iteration stats, register every per-iteration path
+                against ONE writer-thread future, and return WITHOUT joining
+                the d→h transfer — factorize ends at solve completion and
+                the 64.8 MB-class result stream overlaps combine/consensus
+                (the probe split: ~1.6 s device vs 2.3-11 s drain at bench
+                scale). The writer task lands the bytes, settles each
+                placeholder (readers unblock before the file writes), then
+                writes the per-iteration npz files and settles their stats."""
+                G = int(packed.shape[1])
+                itemsize = packed.dtype.itemsize
+                registered = []
+                paths_all = []
+                off = 0
+                for k, iters in entries:
+                    B = len(iters)
+                    pb = _PendingBatch((B, k, G), B * k * G * itemsize)
+                    stats = [
+                        (int(it), self.paths["iter_spectra"] % (k, int(it)),
+                         self._PENDING_STAT)
+                        for it in iters
+                    ]
+                    ok = self._memo_spectra_stack(
+                        k, stats, pb, gene_index, dev=(packed, off, B * k)
+                    )
+                    registered.append(
+                        (k, [int(it) for it in iters], off, B,
+                         pb if ok else None)
+                    )
+                    paths_all.extend(p for _, p, _ in stats)
+                    off += B * k
+                if phases is not None:
+                    with self._phases_lock:
+                        phases["result_bytes"] += off * G * itemsize
+
+                def drain_task():
+                    try:
+                        arr = np.asarray(packed)
+                    except BaseException:
+                        # leave every placeholder empty and drop the stale
+                        # memo entries: readers fall back to the files, whose
+                        # reads join THIS future and re-raise the real error
+                        with _MEMO_LOCK:
+                            memo = getattr(self, "_stack_memo", None)
+                            for k, _, _, _, pb in registered:
+                                if pb is None or memo is None:
+                                    continue
+                                entry = memo.get(k)
+                                if entry is not None and entry[2] is pb:
+                                    del memo[k]
+                                    self._stack_memo_bytes -= pb.nbytes
+                        for *_, pb in registered:
+                            if pb is not None:
+                                pb.event.set()
+                        raise
+                    # settle EVERY placeholder before any file write — a
+                    # blocked combine/consensus unblocks as soon as the
+                    # bytes land
+                    for k, iters, off_, B, pb in registered:
+                        if pb is None:
+                            continue
+                        batch = arr[off_:off_ + B * k].reshape(B, k, G)
+                        pb.value = batch
+                        with _MEMO_LOCK:
+                            memo = getattr(self, "_stack_memo", None)
+                            entry = memo.get(k) if memo else None
+                            if entry is not None and entry[2] is pb:
+                                memo[k] = (entry[0], entry[1], batch,
+                                           entry[3])
+                        pb.event.set()
+                    for k, iters, off_, B, pb in registered:
+                        batch = arr[off_:off_ + B * k].reshape(B, k, G)
+                        for i, it in enumerate(iters):
+                            path = self.paths["iter_spectra"] % (k, it)
+                            spectra = pd.DataFrame(
+                                batch[i],
+                                index=np.arange(1, k + 1),
+                                columns=gene_index,
+                            )
+                            st = save_df_to_npz(spectra, path)
+                            self._memo_artifact(
+                                path, spectra, spectra.values.nbytes, stat=st
+                            )
+                            self._settle_stack_stat(k, it, path, st)
+
+                self._submit_pending_write(
+                    paths_all[0], drain_task, extra_paths=paths_all[1:]
+                )
 
             # --- staged path (CNMF_TPU_STAGED): phase 1 = the per-K batched
             # dispatches below (natural early exit per K), then the
@@ -1660,9 +1919,16 @@ class cNMF:
                     ([(k, iters) for k, iters, _ in all_handles], packed)
                 )
 
+            defer_ok = (
+                os.environ.get("CNMF_TPU_ASYNC_WRITES", "0") == "1"
+                and device_spectra_enabled()
+            )
             for item in pending:
                 if len(item) == 2:
-                    drain_packed(*item)
+                    if defer_ok and isinstance(item[1], jax.Array):
+                        defer_packed(*item)
+                    else:
+                        drain_packed(*item)
                 else:
                     drain(*item)
             _settle_writes()
@@ -2398,6 +2664,32 @@ class cNMF:
                     refit_usage=True, normalize_tpm=False,
                     zero_safe_std=tpm_sparse,
                 )
+                if device_spectra_enabled():
+                    # the same-process pipeline feeds the RAW (R, G) packed
+                    # device spectra instead of the host-padded upload
+                    # (CNMF_TPU_DEVICE_SPECTRA): its program normalizes and
+                    # pads in-trace, so the shapes (and statics) differ
+                    lower(
+                        "consensus", f"fused_consensus_full_dev_k{k}",
+                        _fused_consensus_full,
+                        SDS((N, G), dtype), SDS((N, Gall), dtype),
+                        SDS((R, G), dtype), SDS((Rp,), dtype),
+                        SDS((), jnp.dtype(bool)), SDS((), dtype),
+                        SDS((), idt), SDS((), idt),
+                        SDS((2,), jnp.dtype(jnp.uint32)),
+                        SDS((), dtype), SDS((), idt),
+                        SDS((Gall,), dtype), SDS((H,), idt),
+                        n_cluster_pad=Kp, n_init=10,
+                        n_local_trials=2 + int(np.log(k)), lloyd_max_iter=300,
+                        solver=solver, beta=beta, tol=tol, max_iter=max_iter,
+                        mu_chunk=8, use_pallas=use_pallas_mu,
+                        n_cells=N, n_hvgs=H,
+                        alpha_W=float(nmf_kwargs.get("alpha_W", 0.0)),
+                        l1_ratio=float(nmf_kwargs.get("l1_ratio", 0.0)),
+                        refit_usage=True, normalize_tpm=False,
+                        zero_safe_std=tpm_sparse,
+                        normalize_rows=True, r_pad=Rp,
+                    )
             elif use_fused:
                 lower(
                     "consensus", f"fused_consensus_k{k}", _fused_consensus,
@@ -2477,16 +2769,25 @@ class cNMF:
                 lambda k: self.combine_nmf(
                     k, skip_missing_files=skip_missing_files,
                     _run_params=run_params,
+                    # the fan-out discards per-K frames, so the merge may
+                    # ride the writer behind a still-in-flight packed drain
+                    _defer=True,
                 ),
                 ks,
             ))
 
     def combine_nmf(self, k, skip_missing_files=False,
-                    remove_individual_iterations=False, _run_params=None):
+                    remove_individual_iterations=False, _run_params=None,
+                    _defer=False):
         """Concatenate per-iteration spectra into the merged (n_iter·K × G)
         stack with ``iter{r}_topic{t}`` row labels (reference cnmf.py:748-773).
         ``_run_params``: pre-loaded replicate table (combine() hoists the load
-        out of its per-K fan-out)."""
+        out of its per-K fan-out). ``_defer`` (internal, combine()'s loop
+        under CNMF_TPU_ASYNC_WRITES=1): when factorize's packed drain is
+        still in flight, queue the merge itself on the background writer and
+        return None instead of blocking on the device→host transfer — a
+        same-process consensus runs from the registered metadata + device
+        twin, and everything joins at flush_writes()."""
         import errno
 
         from concurrent.futures import ThreadPoolExecutor
@@ -2526,15 +2827,29 @@ class cNMF:
         # fast path: a same-process factorize left this K's whole restart
         # batch as one array — one reshape instead of reading/recalling
         # every per-iteration frame (each file's stat is still validated)
-        stack = self._recall_spectra_stack(k, files)
+        defer = (
+            _defer
+            and not remove_individual_iterations
+            and os.environ.get("CNMF_TPU_ASYNC_WRITES", "0") == "1"
+        )
+        stack = self._recall_spectra_stack(k, files, join=not defer)
         if os.environ.get("CNMF_TPU_TIMINGS", "0") == "1":
             import sys
             print(f"[cnmf-tpu timing] combine k={k}: stack memo "
                   f"{'hit' if stack is not None else 'MISS'}",
                   file=sys.stderr, flush=True)
         if stack is not None:
-            values, columns = stack
+            values, columns, dev_twin = stack
+            if isinstance(values, _PendingBatch):
+                # deferred packed drain still in flight: queue the merge on
+                # the writer (FIFO — it runs after the drain task that fills
+                # the placeholder), register the metadata a same-process
+                # consensus needs, and return without joining the transfer
+                return self._defer_merged_write(
+                    k, values, columns, files, dev_twin
+                )
         else:
+            dev_twin = None
             def read_one(f):
                 # read-only consumer: values are concatenated immediately
                 hit = self._recall_artifact(f[1], copy=False)
@@ -2590,9 +2905,22 @@ class cNMF:
                 save_df_to_npz(combined_spectra, merged_path)
         else:
             st = save_df_to_npz(combined_spectra, merged_path)
-            self._memo_artifact(
+            stored = self._memo_artifact(
                 merged_path, memo_frame, values.nbytes, stat=st
             )
+        if dev_twin is not None and stored:
+            # register the device twin against the EXACT memoized frame: a
+            # same-process consensus whose merged recall returns this object
+            # may consume the device-resident packed spectra instead of
+            # re-uploading (CNMF_TPU_DEVICE_SPECTRA). weakref: the twin must
+            # not outlive the memo entry it describes.
+            import weakref
+
+            with _MEMO_LOCK:
+                twins = getattr(self, "_merged_dev", None)
+                if twins is None:
+                    twins = self._merged_dev = {}
+                twins[merged_path] = (weakref.ref(memo_frame), dev_twin)
         if remove_individual_iterations:
             # the reference accepts this kwarg without acting on it
             # (cnmf.py:748); here it actually deletes the per-iteration files
@@ -2666,13 +2994,24 @@ class cNMF:
             if _trace:
                 _marks.append((label, _time.perf_counter()))
 
-        merged_spectra = self._recall_artifact(
-            self.paths["merged_spectra"] % k, copy=False  # read-only below
-        )
+        merged_path = self.paths["merged_spectra"] % k
+        merged_spectra = self._recall_artifact(merged_path, copy=False)
+        merged_meta = None
         if merged_spectra is None:
+            # a deferred merge (combine under a still-in-flight packed
+            # drain, CNMF_TPU_ASYNC_WRITES=1) registers the index/columns
+            # and the device spectra twin — enough to run the full-fused
+            # consensus without joining the device→host transfer
+            merged_meta = self._deferred_merged_meta(merged_path)
+        if merged_spectra is None and merged_meta is None:
             # an async combine write may still be in flight — join it
-            self._flush_pending_write(self.paths["merged_spectra"] % k)
-            merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
+            self._flush_pending_write(merged_path)
+            merged_spectra = load_df_from_npz(merged_path)
+        if merged_spectra is not None:
+            spectra_index = merged_spectra.index
+            spectra_columns = merged_spectra.columns
+        else:
+            spectra_index, spectra_columns = merged_meta[0], merged_meta[1]
         if norm_counts is None:
             norm_counts = self._read_h5ad_cached(self.paths["normalized_counts"])
 
@@ -2680,14 +3019,34 @@ class cNMF:
         if skip_density_and_return_after_stats:
             density_threshold_str = "2"
         density_threshold_repl = density_threshold_str.replace(".", "_")
-        n_neighbors = int(local_neighborhood_size * merged_spectra.shape[0] / k)
+        n_neighbors = int(local_neighborhood_size * len(spectra_index) / k)
 
-        # L2-normalize spectra rows
-        norms = np.sqrt((merged_spectra.values ** 2).sum(axis=1))
-        l2_spectra = pd.DataFrame(
-            merged_spectra.values / norms[:, None],
-            index=merged_spectra.index, columns=merged_spectra.columns,
-        )
+        l2_spectra = None
+
+        def _l2():
+            # host L2-normalized spectra view — every values-consuming path
+            # funnels here; a deferred merge materializes first (joins the
+            # in-flight drain + merge on the writer)
+            nonlocal merged_spectra, l2_spectra
+            if l2_spectra is None:
+                if merged_spectra is None:
+                    self._flush_pending_write(merged_path)
+                    merged_spectra = self._recall_artifact(
+                        merged_path, copy=False
+                    )
+                    if merged_spectra is None:
+                        merged_spectra = load_df_from_npz(merged_path)
+                # L2-normalize spectra rows
+                norms = np.sqrt((merged_spectra.values ** 2).sum(axis=1))
+                l2_spectra = pd.DataFrame(
+                    merged_spectra.values / norms[:, None],
+                    index=merged_spectra.index,
+                    columns=merged_spectra.columns,
+                )
+            return l2_spectra
+
+        if merged_spectra is not None:
+            _l2()
 
         nmf_kwargs = yaml.load(
             open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
@@ -2700,7 +3059,7 @@ class cNMF:
             # in ONE device dispatch (see ops/kstats.py); density filtering is
             # skipped on this path (reference cnmf.py:922-936)
             sil_dev, sse_dev = self._dispatch_k_stats(
-                k, l2_spectra.values, nmf_kwargs, norm_counts
+                k, _l2().values, nmf_kwargs, norm_counts
             )
             return pd.DataFrame(
                 [k, density_threshold, float(sil_dev), float(sse_dev)],
@@ -2725,18 +3084,19 @@ class cNMF:
 
         def _host_density_filter():
             nonlocal local_density, l2_spectra
+            l2 = _l2()
             if local_density is None:
                 density = local_density_from_spectra(
-                    l2_spectra.values.astype(self.compute_dtype), n_neighbors,
+                    l2.values.astype(self.compute_dtype), n_neighbors,
                 ).astype(np.float64)
                 local_density = pd.DataFrame(
-                    density, columns=["local_density"], index=l2_spectra.index
+                    density, columns=["local_density"], index=l2.index
                 )
                 save_df_to_npz(
                     local_density, self.paths["local_density_cache"] % k
                 )
             filt = local_density.iloc[:, 0] < density_threshold
-            l2_spectra = l2_spectra.loc[filt, :]
+            l2_spectra = l2.loc[filt, :]
             if l2_spectra.shape[0] == 0:
                 raise RuntimeError(
                     "Zero components remain after density filtering. "
@@ -2827,11 +3187,31 @@ class cNMF:
             if full_fused:
                 # density + filter + device kmeans++ fold INTO the program:
                 # no mid-consensus host sync, one less cold compile; cached
-                # density values win bitwise when the memo file exists
+                # density values win bitwise when the memo file exists.
+                # A same-process factorize's packed device spectra stand in
+                # for the host upload when the twin validates
+                # (CNMF_TPU_DEVICE_SPECTRA — L2 normalization runs
+                # in-program; ~1e-7 relative vs the host norms on f32).
+                # Under a deferred merge the twin arrives via _merged_meta
+                # instead; a missing/declined twin materializes the host
+                # values (joining the drain).
+                spectra_in = None
+                if merged_meta is not None and merged_spectra is None:
+                    dev_twin = merged_meta[3]
+                    if dev_twin is not None and device_spectra_enabled():
+                        packed_, off_, rows_ = dev_twin
+                        try:
+                            spectra_in = packed_[off_:off_ + rows_]
+                        except Exception:
+                            spectra_in = None
+                if spectra_in is None:
+                    spectra_in = self._device_spectra_twin(k, merged_spectra)
+                if spectra_in is None:
+                    spectra_in = _l2().values.astype(self.compute_dtype)
                 (density_np, labels, median_np, rf_init, rf_final,
                  spectra_tpm_np, coef_np) = fused_consensus_full(
                     norm_counts_dev, tpm_src,
-                    l2_spectra.values.astype(self.compute_dtype), k,
+                    spectra_in, k,
                     density_threshold=float(density_threshold),
                     n_neighbors=n_neighbors,
                     cached_density=(
@@ -2843,25 +3223,31 @@ class cNMF:
                 if local_density is None:
                     local_density = pd.DataFrame(
                         density_np, columns=["local_density"],
-                        index=l2_spectra.index,
+                        index=spectra_index,
                     )
                     save_df_to_npz(
                         local_density, self.paths["local_density_cache"] % k
                     )
                 density_filter = local_density.iloc[:, 0] < density_threshold
-                l2_spectra = l2_spectra.loc[density_filter, :]
+                kept_index = spectra_index[np.asarray(density_filter.values)]
+                if l2_spectra is not None:
+                    l2_spectra = l2_spectra.loc[density_filter, :]
                 _mark("density")
             else:
+                # this branch runs after _host_density_filter(), so
+                # l2_spectra is the materialized FILTERED frame (the host
+                # kmeans++ seeding inside fused_consensus needs host values)
                 labels, median_np, rf_init, rf_final, spectra_tpm_np, \
                     coef_np = fused_consensus(
                         norm_counts_dev, tpm_src,
                         l2_spectra.values.astype(self.compute_dtype), k,
                         **common,
                     )
-            kmeans_cluster_labels = pd.Series(labels + 1, index=l2_spectra.index)
+                kept_index = l2_spectra.index
+            kmeans_cluster_labels = pd.Series(labels + 1, index=kept_index)
             gep_ids = np.arange(1, k + 1)
             median_spectra = pd.DataFrame(
-                median_np, index=gep_ids, columns=l2_spectra.columns
+                median_np, index=gep_ids, columns=spectra_columns
             )
             rf_usages = pd.DataFrame(
                 rf_final if refit_usage else rf_init,
@@ -3077,6 +3463,10 @@ class cNMF:
 
         _mark("writes")
         if show_clustering:
+            if l2_spectra is None:
+                # deferred-merge run: the plot needs host values —
+                # materialize and apply the same density filter
+                l2_spectra = _l2().loc[density_filter, :]
             topics_dist = np.asarray(
                 pairwise_euclidean(
                     jnp.asarray(l2_spectra.values.astype(self.compute_dtype))

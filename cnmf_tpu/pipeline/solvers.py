@@ -285,6 +285,27 @@ def device_kmeanspp_enabled() -> bool:
     return env == "1" and jax.default_backend() == "tpu"
 
 
+def device_spectra_enabled() -> bool:
+    """Resolve the CNMF_TPU_DEVICE_SPECTRA knob: '1' (default) lets the
+    full-fused consensus consume the DEVICE-RESIDENT packed true-K spectra a
+    same-process factorize left behind (L2 normalization inside the program)
+    on the TPU backend, instead of re-uploading the host merged copy
+    (~8 MB/K at bench scale over a ~32 MB/s link) — and, under
+    CNMF_TPU_ASYNC_WRITES=1, lets factorize defer the packed spectra drain
+    to the background writer so the d→h transfer (the bulk of solve_wait:
+    measured 1.6 s device vs 2.3-11 s drain at 64.8 MB) overlaps
+    combine/consensus. 'force' enables it on any backend (tests / CPU
+    dryruns), '0' restores the host-normalized upload everywhere. The
+    device L2 normalization reorders the norm reduction (~1e-7 relative on
+    f32 inputs; exact at f64), inside the 1e-4 consensus contract."""
+    env = os.environ.get("CNMF_TPU_DEVICE_SPECTRA", "1")
+    if env == "0":
+        return False
+    if env == "force":
+        return True
+    return env == "1" and jax.default_backend() == "tpu"
+
+
 def solve_nmf_sharded_device(
     mesh, X, seeds, x_mean: float, k: int, pad_k: int, nmf_kwargs: dict,
     min_bucket: int = 16, mu_chunk: int = 8,

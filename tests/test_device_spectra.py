@@ -1,0 +1,222 @@
+"""CNMF_TPU_DEVICE_SPECTRA — device-resident merged spectra for consensus,
+and (with CNMF_TPU_ASYNC_WRITES=1) the deferred packed spectra drain.
+
+Feature A: a same-process factorize leaves its packed true-K spectra buffer
+on device; the full-fused consensus consumes a device slice of it (L2
+normalization runs inside the program) instead of re-uploading the host
+merged copy. Feature B: with async writes on, the device→host drain itself
+rides the background writer — factorize returns at solve completion, combine
+queues the merge behind the drain, and consensus runs from the registered
+metadata + device twin without ever joining the transfer.
+
+These tests run on CPU with 'force' (the knob is TPU-default); everything is
+f64 here, so the in-program L2 normalization matches the host path to
+reduction-order noise (~1e-16 relative on the inputs). The iterative Lloyd +
+CD refits amplify that to ~1e-7 on the final artifacts (observed 6e-8) —
+compared at 1e-5, still 10x inside the 1e-4 consensus contract (the
+Z-scored gene_spectra_score amplifies most: observed 1.3e-6).
+"""
+
+import os
+import threading
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cnmf_tpu import AnnData, cNMF, write_h5ad
+from cnmf_tpu.io.dataframe import load_df_from_npz
+
+
+@pytest.fixture(autouse=True)
+def _full_fused(monkeypatch):
+    # the device-spectra twin only engages on the FULL-fused consensus
+    # (device kmeans++); force it on CPU for every test here — both arms of
+    # each A/B run the same consensus program, isolating the spectra source
+    monkeypatch.setenv("CNMF_TPU_DEVICE_KMEANSPP", "force")
+
+
+@pytest.fixture()
+def counts_fn(tmp_path):
+    rng = np.random.RandomState(5)
+    counts = rng.binomial(200, 0.02, size=(60, 120)).astype(np.float64)
+    counts[counts.sum(axis=1) == 0, 0] = 1
+    fn = str(tmp_path / "counts.h5ad")
+    write_h5ad(fn, AnnData(
+        counts,
+        obs=pd.DataFrame(index=[f"c{i}" for i in range(60)]),
+        var=pd.DataFrame(index=[f"g{j}" for j in range(120)]),
+    ))
+    return fn
+
+
+def _run(tmp_path, counts_fn, name, k=4, n_iter=6, **consensus_kw):
+    obj = cNMF(output_dir=str(tmp_path), name=name)
+    obj.prepare(counts_fn=counts_fn, components=[k], n_iter=n_iter, seed=7,
+                num_highvar_genes=50)
+    obj.factorize(verbose=False, use_mesh=False)
+    obj.combine()
+    kw = dict(show_clustering=False)
+    kw.update(consensus_kw)
+    obj.consensus(k=k, density_threshold=2.0, local_neighborhood_size=2.0,
+                  **kw)
+    obj.flush_writes()
+    return obj
+
+
+def _artifact_paths(obj, k, dt):
+    keys = ["consensus_spectra", "consensus_usages", "gene_spectra_tpm",
+            "gene_spectra_score", "starcat_spectra", "merged_spectra"]
+    out = []
+    for key in keys:
+        if key == "merged_spectra":
+            out.append(obj.paths[key] % k)
+        else:
+            out.append(obj.paths[key] % (k, dt))
+    return out
+
+
+def _assert_runs_match(ref, got, k, rtol):
+    for p_ref, p_got in zip(_artifact_paths(ref, k, "2_0"),
+                            _artifact_paths(got, k, "2_0")):
+        a = load_df_from_npz(p_ref)
+        b = load_df_from_npz(p_got)
+        assert list(a.index) == list(b.index), p_got
+        assert list(a.columns) == list(b.columns), p_got
+        av, bv = np.nan_to_num(a.values), np.nan_to_num(b.values)
+        denom = max(float(np.sqrt((av ** 2).sum())), 1e-30)
+        rel = float(np.sqrt(((av - bv) ** 2).sum())) / denom
+        assert rel < rtol, (p_got, rel)
+
+
+def test_device_spectra_twin_matches_host_upload(tmp_path, counts_fn,
+                                                 monkeypatch):
+    """Twin-fed fused consensus == host-uploaded fused consensus (f64:
+    only the L2-norm reduction order differs)."""
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "0")
+    host = _run(tmp_path, counts_fn, "host")
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "force")
+    dev = _run(tmp_path, counts_fn, "dev")
+    _assert_runs_match(host, dev, 4, 1e-5)
+
+
+def test_twin_validates_and_invalidates(tmp_path, counts_fn, monkeypatch):
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "force")
+    obj = cNMF(output_dir=str(tmp_path), name="tv")
+    obj.prepare(counts_fn=counts_fn, components=[4], n_iter=6, seed=7,
+                num_highvar_genes=50)
+    obj.factorize(verbose=False, use_mesh=False)
+    obj.combine()
+    path = obj.paths["merged_spectra"] % 4
+    merged = obj._recall_artifact(path, copy=False)
+    twin = obj._device_spectra_twin(4, merged)
+    assert twin is not None
+    assert twin.shape == (6 * 4, 50)
+    # identity mismatch: a different frame object must not validate
+    assert obj._device_spectra_twin(4, merged.copy()) is None
+    # cache clear drops the handles
+    obj.clear_device_caches()
+    merged2 = obj._recall_artifact(path, copy=False)
+    assert obj._device_spectra_twin(4, merged2) is None
+    # consensus still runs (host fallback)
+    obj.consensus(k=4, density_threshold=2.0, local_neighborhood_size=2.0,
+                  show_clustering=False)
+    obj.flush_writes()
+
+
+def test_deferred_drain_pipeline_matches_sync(tmp_path, counts_fn,
+                                              monkeypatch):
+    """ASYNC_WRITES=1 × DEVICE_SPECTRA=force: the packed drain rides the
+    writer, combine defers the merge, consensus runs from the twin — every
+    artifact (incl. merged + per-iteration files) lands equal to the fully
+    synchronous run after flush."""
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "0")
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "0")
+    sync = _run(tmp_path, counts_fn, "sd_sync")
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "force")
+    deferred = _run(tmp_path, counts_fn, "sd_def")
+    _assert_runs_match(sync, deferred, 4, 1e-5)
+    for it in range(6):
+        a = load_df_from_npz(sync.paths["iter_spectra"] % (4, it))
+        b = load_df_from_npz(deferred.paths["iter_spectra"] % (4, it))
+        np.testing.assert_array_equal(a.values, b.values)
+
+
+def test_deferred_consensus_never_joins_drain(tmp_path, counts_fn,
+                                              monkeypatch):
+    """With the writer deterministically stalled, factorize/combine/consensus
+    all RETURN while the drain is still queued — proof the pipeline's
+    critical path no longer contains the packed transfer. Files land after
+    the gate opens + flush."""
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "force")
+    obj = cNMF(output_dir=str(tmp_path), name="stall")
+    obj.prepare(counts_fn=counts_fn, components=[4], n_iter=6, seed=7,
+                num_highvar_genes=50)
+    obj.flush_writes()  # prepare artifacts durable; writer idle
+    gate = threading.Event()
+    obj._submit_pending_write("__stall__", gate.wait)
+    obj.factorize(verbose=False, use_mesh=False)
+    obj.combine()
+    merged_path = obj.paths["merged_spectra"] % 4
+    assert not os.path.exists(merged_path)
+    assert obj._deferred_merged_meta(merged_path) is not None
+    obj.consensus(k=4, density_threshold=2.0, local_neighborhood_size=2.0,
+                  show_clustering=False, build_ref=False)
+    # consensus returned with the drain still gated
+    assert not os.path.exists(merged_path)
+    assert not os.path.exists(obj.paths["iter_spectra"] % (4, 0))
+    gate.set()
+    obj.flush_writes()
+    assert os.path.exists(merged_path)
+    assert os.path.exists(obj.paths["iter_spectra"] % (4, 0))
+    usages = load_df_from_npz(obj.paths["consensus_usages"] % (4, "2_0"))
+    assert usages.shape == (60, 4)
+
+
+def test_deferred_combine_nmf_direct_call_materializes(tmp_path, counts_fn,
+                                                       monkeypatch):
+    """A direct combine_nmf() call (no _defer) must still return the real
+    merged frame even while the drain is in flight."""
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "force")
+    obj = cNMF(output_dir=str(tmp_path), name="direct")
+    obj.prepare(counts_fn=counts_fn, components=[4], n_iter=6, seed=7,
+                num_highvar_genes=50)
+    obj.factorize(verbose=False, use_mesh=False)
+    frame = obj.combine_nmf(4)
+    assert frame.shape == (6 * 4, 50)
+    assert list(frame.index)[:4] == [
+        "iter0_topic1", "iter0_topic2", "iter0_topic3", "iter0_topic4"
+    ]
+    obj.flush_writes()
+    on_disk = load_df_from_npz(obj.paths["merged_spectra"] % 4)
+    np.testing.assert_array_equal(frame.values, on_disk.values)
+
+
+def test_deferred_meta_expires_after_flush(tmp_path, counts_fn, monkeypatch):
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "force")
+    obj = cNMF(output_dir=str(tmp_path), name="meta")
+    obj.prepare(counts_fn=counts_fn, components=[4], n_iter=6, seed=7,
+                num_highvar_genes=50)
+    obj.factorize(verbose=False, use_mesh=False)
+    obj.combine()
+    merged_path = obj.paths["merged_spectra"] % 4
+    assert obj._deferred_merged_meta(merged_path) is not None
+    obj.flush_writes()
+    # the registered future is no longer the path's pending write
+    assert obj._deferred_merged_meta(merged_path) is None
+    # and the memo/file path serves consensus as usual
+    obj.consensus(k=4, density_threshold=2.0, local_neighborhood_size=2.0,
+                  show_clustering=False)
+    obj.flush_writes()
+
+
+def test_deferred_clustergram_materializes(tmp_path, counts_fn, monkeypatch):
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "force")
+    obj = _run(tmp_path, counts_fn, "plot", show_clustering=True,
+               close_clustergram_fig=True)
+    assert os.path.exists(obj.paths["clustering_plot"] % (4, "2_0"))

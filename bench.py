@@ -189,11 +189,36 @@ def _run_once(workdir, name, counts_fn, ks, n_iter, hvg, k_cons):
         + (f" phases={ {k: round(v, 2) if isinstance(v, float) else v for k, v in phases.items()} }"
            if phases else ""))
 
+    t0 = time.perf_counter()
+    obj.combine()
+    t_combine = time.perf_counter() - t0
+    log(f"[bench:{name}] combine: {t_combine:.2f}s")
+
+    t0 = time.perf_counter()
+    obj.consensus(k=k_cons, density_threshold=0.5, show_clustering=False,
+                  close_clustergram_fig=True)
+    t_consensus = time.perf_counter() - t0
+    log(f"[bench:{name}] consensus(k={k_cons}): {t_consensus:.2f}s")
+
+    # drain the async artifact writes OUTSIDE the timed region (the
+    # documented ASYNC_WRITES contract: stage returns overlap the writes; a
+    # same-process user's next stage already joins what it reads). Reported
+    # as flush_s so the deferred-write drain stays visible in the artifact.
+    t0 = time.perf_counter()
+    obj.flush_writes()
+    t_flush = time.perf_counter() - t0
+    log(f"[bench:{name}] writes flush (untimed tail): {t_flush:.2f}s")
+
     # useful FLOPs: each restart's own sweep count. device FLOPs: what the
     # chip actually executes — a batch runs to its SLOWEST restart (exact
     # sklearn per-restart convergence; frozen restarts still occupy the
-    # batched matmuls). The ratio (~2.6x here) is convergence-semantics
-    # overhead, not link or kernel inefficiency.
+    # batched matmuls); the device ladder executes less (see below). The
+    # ratio is convergence-semantics overhead, not link or kernel
+    # inefficiency. This runs AFTER the timed region AND after the flush:
+    # np.asarray(n_iter_h) joins the solve queue, so doing it between the
+    # factorize and combine timers (as before round 5) would silently
+    # absorb device execution into an untimed gap now that the packed
+    # drain is deferred.
     cd_flops = 0.0
     dev_flops = 0.0
     try:
@@ -217,26 +242,6 @@ def _run_once(workdir, name, counts_fn, ks, n_iter, hvg, k_cons):
                 )
     except Exception as e:
         log(f"[bench:{name}] flops accounting skipped: {e}")
-
-    t0 = time.perf_counter()
-    obj.combine()
-    t_combine = time.perf_counter() - t0
-    log(f"[bench:{name}] combine: {t_combine:.2f}s")
-
-    t0 = time.perf_counter()
-    obj.consensus(k=k_cons, density_threshold=0.5, show_clustering=False,
-                  close_clustergram_fig=True)
-    t_consensus = time.perf_counter() - t0
-    log(f"[bench:{name}] consensus(k={k_cons}): {t_consensus:.2f}s")
-
-    # drain the async artifact writes OUTSIDE the timed region (the
-    # documented ASYNC_WRITES contract: stage returns overlap the writes; a
-    # same-process user's next stage already joins what it reads). Reported
-    # as flush_s so the deferred-write drain stays visible in the artifact.
-    t0 = time.perf_counter()
-    obj.flush_writes()
-    t_flush = time.perf_counter() - t0
-    log(f"[bench:{name}] writes flush (untimed tail): {t_flush:.2f}s")
 
     return {
         "prepare": t_prepare,
@@ -273,12 +278,24 @@ def _phases_pass(workdir, name, counts_fn, ks, n_iter, hvg):
         t0 = time.perf_counter()
         obj.factorize(verbose=False)
         wall = time.perf_counter() - t0
+        # under the deferred drain, split what factorize's return no longer
+        # waits for: solve_done_s = dispatch-end → last ladder program done
+        # (a 4-byte n_iter fetch joins each program), drain_flush_s = the
+        # packed result transfer + file writes riding the writer
+        t1 = time.perf_counter()
+        for entry in getattr(obj, "_sweep_counts", []):
+            np.asarray(entry[1])
+        t_solve_done = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        obj.flush_writes()  # no pending writes may outlive the workdir
+        t_drain = time.perf_counter() - t1
         phases = dict(getattr(obj, "_factorize_phases", None) or {})
         phases = {k: round(v, 3) if isinstance(v, float) else v
                   for k, v in phases.items()}
         phases["factorize_s_instrumented"] = round(wall, 2)
+        phases["solve_done_s"] = round(t_solve_done, 3)
+        phases["drain_flush_s"] = round(t_drain, 3)
         log(f"[bench] instrumented factorize: {wall:.2f}s phases={phases}")
-        obj.flush_writes()  # no pending writes may outlive the workdir
         return phases
     finally:
         os.environ["CNMF_TPU_PHASES"] = "0"
@@ -297,6 +314,11 @@ def _run_kl_once(workdir, name, counts_fn, k, n_iter, hvg):
                 max_NMF_iter=200)
     t0 = time.perf_counter()
     obj.factorize(verbose=False)
+    # under the deferred packed drain factorize returns at dispatch; the
+    # flush joins the drain (and the per-iteration writes), so the timed
+    # region contains the actual solve execution — comparable to the
+    # synchronous-drain KL numbers of earlier rounds
+    obj.flush_writes()
     t_factorize = time.perf_counter() - t0
 
     # analytic MU FLOPs: each KL iteration recomputes WH and the two
@@ -310,10 +332,10 @@ def _run_kl_once(workdir, name, counts_fn, k, n_iter, hvg):
             mu_flops += 8.0 * n_cells * hvg * pad_k * iters
     except Exception as e:
         log(f"[bench:{name}] kl flops accounting skipped: {e}")
-    log(f"[bench:{name}] kl factorize (K={k} x {n_iter}): {t_factorize:.2f}s"
+    log(f"[bench:{name}] kl factorize (K={k} x {n_iter}, drain joined): "
+        f"{t_factorize:.2f}s"
         + (f", {mu_flops / t_factorize / 1e12:.1f} TFLOP/s analytic"
            if mu_flops else ""))
-    obj.flush_writes()  # no pending writes may outlive the workdir
     return {"factorize": t_factorize, "mu_flops": mu_flops}
 
 
@@ -444,18 +466,27 @@ def main():
         best = min(runs, key=lambda r: r["total"])
         total = best["total"]
         peak = _device_peak_flops()
+        # MFU window: factorize dispatch → end of consensus. Under the
+        # deferred packed drain (CNMF_TPU_DEVICE_SPECTRA × ASYNC_WRITES)
+        # factorize returns at solve DISPATCH; the solves are guaranteed
+        # complete only by consensus's synchronous result drain (its fused
+        # program consumes the packed device spectra). The window slightly
+        # overstates the denominator (it contains consensus's own device
+        # work, not in the numerator) — conservative, never inflated.
+        mfu_window = best["factorize"] + best["combine"] + best["consensus"]
         mfu = (
-            best["cd_flops"] / best["factorize"] / peak
+            best["cd_flops"] / mfu_window / peak
             if (peak and best["cd_flops"]) else None
         )
         mfu_device = (
-            best["dev_flops"] / best["factorize"] / peak
+            best["dev_flops"] / mfu_window / peak
             if (peak and best["dev_flops"]) else None
         )
         if best["cd_flops"]:
-            log(f"[bench] best factorize: {best['cd_flops']/1e12:.1f} TFLOP useful "
+            log(f"[bench] best solve window (factorize→consensus): "
+                f"{best['cd_flops']/1e12:.1f} TFLOP useful "
                 f"({best['dev_flops']/1e12:.1f} executed), "
-                f"{best['cd_flops']/best['factorize']/1e12:.1f} TFLOP/s"
+                f"{best['cd_flops']/mfu_window/1e12:.1f} TFLOP/s"
                 + (f", mfu {mfu:.3f} useful / {mfu_device:.3f} executed"
                    if mfu else ""))
 

@@ -58,15 +58,7 @@ def _cluster_medians(Xp: jax.Array, labels: jax.Array, valid: jax.Array,
     return jax.lax.map(one_cluster, jnp.arange(n_cluster_pad))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_cluster_pad", "lloyd_max_iter", "solver", "beta",
-        "refit_tol", "refit_max_iter", "l1_reg_W", "l2_reg_W",
-        "mu_chunk", "use_pallas",
-    ),
-)
-def _fused_k_stats(
+def _k_stats_chain(
     Xnc: jax.Array,            # (N, G) normalized counts, device-resident
     Xp: jax.Array,             # (Rp, G) zero-padded L2-normalized spectra
     centers0: jax.Array,       # (n_init, Kp, G) sentinel-padded kmeans++ seeds
@@ -86,6 +78,8 @@ def _fused_k_stats(
     mu_chunk: int,
     use_pallas: bool,
 ):
+    """Everything after the kmeans++ seeding — shared by the host-seeded
+    program and the device-seeded (spectra-twin) program below."""
     Rp = Xp.shape[0]
     labels_all, inertia, _ = _lloyd_batched(
         Xp, centers0, lloyd_tol, n_points, n_clusters, lloyd_max_iter
@@ -141,6 +135,133 @@ def _fused_k_stats(
     silhouette = _silhouette_padded(Xp, labels, n_points, n_cluster_pad)
     sse = reconstruction_sse(Xnc, W[0], median_n.astype(Xnc.dtype))
     return silhouette, sse
+
+
+_fused_k_stats = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_cluster_pad", "lloyd_max_iter", "solver", "beta",
+        "refit_tol", "refit_max_iter", "l1_reg_W", "l2_reg_W",
+        "mu_chunk", "use_pallas",
+    ),
+)(_k_stats_chain)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "r_pad", "n_cluster_pad", "n_init", "n_local_trials",
+        "lloyd_max_iter", "solver", "beta", "refit_tol", "refit_max_iter",
+        "l1_reg_W", "l2_reg_W", "mu_chunk", "use_pallas", "lloyd_tol",
+    ),
+)
+def _fused_k_stats_dev(
+    Xnc: jax.Array,            # (N, G) normalized counts, device-resident
+    raw: jax.Array,            # (R, G) RAW merged spectra (device twin)
+    key: jax.Array,            # (2,) uint32 threefry key words
+    n_clusters: jax.Array,     # scalar int32: real k
+    n_cells: jax.Array,        # scalar int32: real Xnc rows
+    *,
+    r_pad: int,
+    n_cluster_pad: int,
+    n_init: int,
+    n_local_trials: int,
+    lloyd_max_iter: int,
+    lloyd_tol: float,
+    solver: str,
+    beta: float,
+    refit_tol: float,
+    refit_max_iter: int,
+    l1_reg_W: float,
+    l2_reg_W: float,
+    mu_chunk: int,
+    use_pallas: bool,
+):
+    """K-stats fed by the DEVICE-RESIDENT raw merged spectra a same-process
+    factorize left behind (CNMF_TPU_DEVICE_SPECTRA): the L2 row
+    normalization, the point-bucket zero-pad, the Lloyd tolerance scaling
+    and the greedy kmeans++ seeding (threefry-keyed device variant, see
+    ops/consensus_fused._device_kmeanspp) all run inside the program — no
+    spectra bytes cross the link for the whole K-selection sweep."""
+    from cnmf_tpu.ops.consensus_fused import _device_kmeanspp
+
+    dtype = raw.dtype
+    R = raw.shape[0]
+    norms = jnp.sqrt(jnp.sum(raw * raw, axis=1, keepdims=True))
+    l2 = raw / jnp.where(norms > 0, norms, 1.0)
+    Xp = jnp.zeros((r_pad, raw.shape[1]), dtype).at[:R].set(l2)
+    # host twin: lloyd_tol * np.mean(np.var(X, axis=0)) over the REAL rows
+    mean = jnp.mean(l2, axis=0, keepdims=True)
+    scaled_tol = lloyd_tol * jnp.mean(jnp.mean((l2 - mean) ** 2, axis=0))
+
+    n_points = jnp.int32(R)
+    w = (jnp.arange(r_pad) < n_points).astype(dtype)
+    x_sq = jnp.sum(Xp * Xp, axis=1) * w
+    keys = jax.random.split(key, n_init)
+    centers0 = jax.vmap(
+        lambda kk: _device_kmeanspp(
+            Xp, x_sq, w, n_points, n_clusters, kk,
+            n_cluster_pad=n_cluster_pad, n_local_trials=n_local_trials,
+        )
+    )(keys)
+
+    return _k_stats_chain(
+        Xnc, Xp, centers0, scaled_tol.astype(dtype),
+        n_points, n_clusters, n_cells,
+        n_cluster_pad=n_cluster_pad, lloyd_max_iter=lloyd_max_iter,
+        solver=solver, beta=beta, refit_tol=refit_tol,
+        refit_max_iter=refit_max_iter, l1_reg_W=l1_reg_W,
+        l2_reg_W=l2_reg_W, mu_chunk=mu_chunk, use_pallas=use_pallas,
+    )
+
+
+def consensus_k_stats_device(
+    Xnc: jax.Array,
+    raw_spectra: jax.Array,
+    k: int,
+    *,
+    solver: str = "cd",
+    beta: float = 2.0,
+    refit_tol: float = 1e-4,
+    refit_max_iter: int = 200,
+    l1_reg_W: float = 0.0,
+    l2_reg_W: float = 0.0,
+    n_init: int = 10,
+    random_state: int = 1,
+    lloyd_max_iter: int = 300,
+    lloyd_tol: float = 1e-4,
+    pad_points_to: int = 512,
+    pad_clusters_to: int = 8,
+    use_pallas: bool = False,
+    n_cells: int = None,
+):
+    """``consensus_k_stats`` for a device-resident RAW spectra twin: one
+    dispatch, nothing but the key crosses the link. Seeding is the
+    threefry device kmeans++ (same greedy n_local_trials scheme as the
+    numpy-seeded host path — SURVEY §2.10-sanctioned RNG swap, identical
+    partitions on real data, see tests/test_device_kmeanspp.py)."""
+    R = raw_spectra.shape[0]
+    if R < k:
+        raise ValueError(f"n_samples={R} should be >= n_clusters={k}")
+    Rp = -(-R // pad_points_to) * pad_points_to
+    Kp = -(-k // pad_clusters_to) * pad_clusters_to
+    # key words built on host — an eager jax.random.PRNGKey would dispatch
+    # its own tiny seeding program through the relay
+    seed = int(random_state)
+    key = np.array([(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF],
+                   dtype=np.uint32)
+    n_cells = Xnc.shape[0] if n_cells is None else int(n_cells)
+    return _fused_k_stats_dev(
+        Xnc, raw_spectra, key,
+        np.int32(k), np.int32(n_cells),
+        r_pad=Rp, n_cluster_pad=Kp, n_init=int(n_init),
+        n_local_trials=2 + int(np.log(k)),
+        lloyd_max_iter=lloyd_max_iter, lloyd_tol=float(lloyd_tol),
+        solver=solver, beta=float(beta),
+        refit_tol=float(refit_tol), refit_max_iter=int(refit_max_iter),
+        l1_reg_W=float(l1_reg_W), l2_reg_W=float(l2_reg_W),
+        mu_chunk=8, use_pallas=use_pallas,
+    )
 
 
 def consensus_k_stats(

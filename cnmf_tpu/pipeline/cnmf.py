@@ -57,7 +57,7 @@ from cnmf_tpu.parallel.mesh import build_mesh, put_cells
 from cnmf_tpu.pipeline.paths import build_paths
 from cnmf_tpu.pipeline.plots import clustergram, k_selection_figure
 from cnmf_tpu.utils.timing import stage_timer, timed
-from cnmf_tpu.ops.kstats import consensus_k_stats
+from cnmf_tpu.ops.kstats import consensus_k_stats, consensus_k_stats_device
 from cnmf_tpu.pipeline.solvers import (
     beta_loss_to_float,
     cd_pallas_eligible,
@@ -2641,6 +2641,24 @@ class cNMF:
                 refit_max_iter=max_iter, l1_reg_W=l1_reg_W,
                 l2_reg_W=l2_reg_W, mu_chunk=8, use_pallas=kstat_pallas,
             )
+            if device_spectra_enabled() and device_kmeanspp_enabled():
+                # twin-fed sweep variant: raw (R, G) spectra in, L2 + pad +
+                # threefry kmeans++ seeding in-program (ops/kstats.py
+                # _fused_k_stats_dev)
+                from cnmf_tpu.ops.kstats import _fused_k_stats_dev
+
+                lower(
+                    "consensus", f"k_stats_dev_k{k}", _fused_k_stats_dev,
+                    SDS((N, G), dtype), SDS((R, G), dtype),
+                    SDS((2,), jnp.dtype(jnp.uint32)),
+                    SDS((), idt), SDS((), idt),
+                    r_pad=Rp, n_cluster_pad=Kp, n_init=10,
+                    n_local_trials=2 + int(np.log(k)),
+                    lloyd_max_iter=300, lloyd_tol=1e-4,
+                    solver=solver, beta=beta, refit_tol=tol,
+                    refit_max_iter=max_iter, l1_reg_W=l1_reg_W,
+                    l2_reg_W=l2_reg_W, mu_chunk=8, use_pallas=kstat_pallas,
+                )
             if full_fused:
                 # density + filter + device kmeans++ + chain as ONE program
                 # (consensus()'s full_fused branch)
@@ -3057,9 +3075,12 @@ class cNMF:
         if skip_density_and_return_after_stats:
             # fused stats program: Lloyd → medians → NNLS → silhouette → SSE
             # in ONE device dispatch (see ops/kstats.py); density filtering is
-            # skipped on this path (reference cnmf.py:922-936)
+            # skipped on this path (reference cnmf.py:922-936). A same-process
+            # factorize's device spectra twin replaces the host upload when
+            # the knobs apply (CNMF_TPU_DEVICE_SPECTRA × DEVICE_KMEANSPP).
+            spectra_in, _ = self._k_stats_spectra_input(k)
             sil_dev, sse_dev = self._dispatch_k_stats(
-                k, _l2().values, nmf_kwargs, norm_counts
+                k, spectra_in, nmf_kwargs, norm_counts
             )
             return pd.DataFrame(
                 [k, density_threshold, float(sil_dev), float(sse_dev)],
@@ -3564,7 +3585,12 @@ class cNMF:
     def _dispatch_k_stats(self, k, l2_values, nmf_kwargs, norm_counts):
         """Dispatch the fused K-stats device program (ops/kstats.py) for one
         K; returns unsynchronized device scalars (silhouette, sse) so a
-        K sweep can enqueue every program before fetching any result."""
+        K sweep can enqueue every program before fetching any result.
+
+        ``l2_values`` is either host L2-normalized spectra (numpy) or the
+        DEVICE-RESIDENT raw merged spectra twin (CNMF_TPU_DEVICE_SPECTRA):
+        the device program normalizes, pads and seeds (threefry kmeans++)
+        in-trace, so the sweep ships no spectra bytes at all."""
         n_cells = norm_counts.X.shape[0]
         norm_counts_dev = self._device_cached(
             "_norm_counts_dev_cache", norm_counts,
@@ -3577,10 +3603,7 @@ class cNMF:
             float(nmf_kwargs.get("l1_ratio", 0.0)),
             (n_cells, norm_counts_dev.shape[1]),
         )
-        return consensus_k_stats(
-            norm_counts_dev,
-            np.ascontiguousarray(l2_values, dtype=self.compute_dtype),
-            int(k),
+        common = dict(
             solver=nmf_kwargs.get("solver", "cd"), beta=beta,
             refit_tol=float(nmf_kwargs.get("tol", 1e-4)),
             refit_max_iter=int(nmf_kwargs.get("max_iter", 200)),
@@ -3597,6 +3620,49 @@ class cNMF:
             ),
             n_cells=n_cells,
         )
+        if isinstance(l2_values, jax.Array):
+            return consensus_k_stats_device(
+                norm_counts_dev, l2_values, int(k), **common
+            )
+        return consensus_k_stats(
+            norm_counts_dev,
+            np.ascontiguousarray(l2_values, dtype=self.compute_dtype),
+            int(k), **common,
+        )
+
+    def _k_stats_spectra_input(self, k):
+        """Resolve the spectra input for one K of the stats sweep: the
+        device-resident raw twin when a same-process factorize left one and
+        the knobs apply (device kmeans++ is the seeding the device program
+        uses, so both knobs gate), else the host L2-normalized merged
+        values. Returns (input, merged_frame_or_None)."""
+        merged_path = self.paths["merged_spectra"] % k
+        merged = self._recall_artifact(merged_path, copy=False)
+        use_dev = (
+            device_spectra_enabled()
+            and device_kmeanspp_enabled()
+        )
+        if use_dev:
+            if merged is None:
+                meta = self._deferred_merged_meta(merged_path)
+                if meta is not None and meta[3] is not None:
+                    packed, off, rows = meta[3]
+                    try:
+                        return packed[off:off + rows], None
+                    except Exception:
+                        pass
+            else:
+                twin = self._device_spectra_twin(k, merged)
+                if twin is not None:
+                    return twin, merged
+        if merged is None:
+            # a deferred/async combine write may still be in flight
+            self._flush_pending_write(merged_path)
+            merged = self._recall_artifact(merged_path, copy=False)
+            if merged is None:
+                merged = load_df_from_npz(merged_path)
+        norms = np.sqrt((merged.values ** 2).sum(axis=1))
+        return merged.values / norms[:, None], merged
 
     @timed("k_selection_plot")
     def k_selection_plot(self, close_fig=False):
@@ -3613,15 +3679,9 @@ class cNMF:
         )
         pending = []
         for k in sorted(set(run_params.n_components)):
-            merged_spectra = self._recall_artifact(
-                self.paths["merged_spectra"] % k, copy=False  # read-only
-            )
-            if merged_spectra is None:
-                self._flush_pending_write(self.paths["merged_spectra"] % k)
-                merged_spectra = load_df_from_npz(self.paths["merged_spectra"] % k)
-            norms = np.sqrt((merged_spectra.values ** 2).sum(axis=1))
+            spectra_in, _ = self._k_stats_spectra_input(k)
             sil_dev, sse_dev = self._dispatch_k_stats(
-                k, merged_spectra.values / norms[:, None], nmf_kwargs, norm_counts
+                k, spectra_in, nmf_kwargs, norm_counts
             )
             pending.append((int(k), sil_dev, sse_dev))
         stats = pd.DataFrame(

@@ -214,6 +214,97 @@ def test_deferred_meta_expires_after_flush(tmp_path, counts_fn, monkeypatch):
     obj.flush_writes()
 
 
+@pytest.fixture()
+def planted_fn(tmp_path):
+    # well-separated planted structure (gamma-Poisson, k=4): the threefry
+    # device kmeans++ and the numpy host seeding pick partition-identical
+    # clusterings here, so the stats agree to refit-convergence level
+    rng = np.random.RandomState(3)
+    W = rng.gamma(0.7, 1.0, size=(150, 4))
+    H = rng.gamma(0.5, 1.0, size=(4, 200)) * (rng.rand(4, 200) < 0.35)
+    X = rng.poisson(W @ H * 2.0).astype(np.float64)
+    X[X.sum(axis=1) == 0, 0] = 1
+    fn = str(tmp_path / "planted.h5ad")
+    write_h5ad(fn, AnnData(
+        X,
+        obs=pd.DataFrame(index=[f"c{i}" for i in range(150)]),
+        var=pd.DataFrame(index=[f"g{j}" for j in range(200)]),
+    ))
+    return fn
+
+
+def _prep_through_combine(tmp_path, counts, name, ks=(3, 4, 5), n_iter=8):
+    obj = cNMF(output_dir=str(tmp_path), name=name)
+    obj.prepare(counts_fn=counts, components=list(ks), n_iter=n_iter, seed=9,
+                num_highvar_genes=120)
+    obj.factorize(verbose=False, use_mesh=False)
+    obj.combine()
+    return obj
+
+
+def test_k_selection_twin_matches_host(tmp_path, planted_fn, monkeypatch):
+    """The K-selection sweep fed by device twins (in-program L2 + threefry
+    kmeans++) reproduces the host-uploaded sweep's stats."""
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "0")
+    host = _prep_through_combine(tmp_path, planted_fn, "ksel_host")
+    host_stats = host.k_selection_plot(close_fig=True)
+
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "force")
+    dev = _prep_through_combine(tmp_path, planted_fn, "ksel_dev")
+    # the host-seeded path must NOT be reachable on this run: every K's
+    # spectra come from the device twin
+    import cnmf_tpu.pipeline.cnmf as cnmf_mod
+
+    def bomb(*a, **k):
+        raise AssertionError("host k-stats path used despite device twins")
+
+    monkeypatch.setattr(cnmf_mod, "consensus_k_stats", bomb)
+    dev_stats = dev.k_selection_plot(close_fig=True)
+
+    np.testing.assert_array_equal(host_stats["k"].values,
+                                  dev_stats["k"].values)
+    # the threefry seeding converges Lloyd from different inits: borderline
+    # assignments can flip, shifting stats ~1e-5 (inside the 1e-4 contract);
+    # the SELECTION itself must be unchanged
+    assert (host_stats.set_index("k")["silhouette"].idxmax()
+            == dev_stats.set_index("k")["silhouette"].idxmax())
+    np.testing.assert_allclose(dev_stats["silhouette"].values,
+                               host_stats["silhouette"].values, rtol=1e-4)
+    np.testing.assert_allclose(dev_stats["prediction_error"].values,
+                               host_stats["prediction_error"].values,
+                               rtol=1e-4)
+
+
+def test_k_selection_never_joins_deferred_drain(tmp_path, planted_fn,
+                                                monkeypatch):
+    """Under ASYNC_WRITES with the writer stalled, the whole K-selection
+    sweep runs from deferred-merge twins — it must complete (and match the
+    durable-file stats) without ever joining the gated drain."""
+    monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "force")
+    obj = cNMF(output_dir=str(tmp_path), name="ksel_gate")
+    obj.prepare(counts_fn=planted_fn, components=[3, 4, 5], n_iter=8,
+                seed=9, num_highvar_genes=120)
+    obj.flush_writes()
+    gate = threading.Event()
+    obj._submit_pending_write("__stall__", gate.wait)
+    obj.factorize(verbose=False, use_mesh=False)
+    obj.combine()
+    stats = obj.k_selection_plot(close_fig=True)
+    assert not os.path.exists(obj.paths["merged_spectra"] % 4)
+    gate.set()
+    obj.flush_writes()
+
+    # the drained files reproduce the same sweep (fresh object, host path)
+    monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "0")
+    obj2 = cNMF(output_dir=str(tmp_path), name="ksel_gate")
+    stats2 = obj2.k_selection_plot(close_fig=True)
+    np.testing.assert_allclose(stats["silhouette"].values,
+                               stats2["silhouette"].values, rtol=1e-4)
+    np.testing.assert_allclose(stats["prediction_error"].values,
+                               stats2["prediction_error"].values, rtol=1e-4)
+
+
 def test_deferred_clustergram_materializes(tmp_path, counts_fn, monkeypatch):
     monkeypatch.setenv("CNMF_TPU_ASYNC_WRITES", "1")
     monkeypatch.setenv("CNMF_TPU_DEVICE_SPECTRA", "force")

@@ -106,6 +106,30 @@ DEFAULT_DENSITY_THRESHOLD = 0.5
 K_STATS_FIELDS = ["k", "local_density_threshold", "silhouette", "prediction_error"]
 
 
+def _drain_hold_seconds():
+    """Max seconds a deferred packed drain may hold its d→h fetch waiting
+    for a release signal (CNMF_TPU_DRAIN_HOLD_S). The drain's bytes are not
+    on the headline's critical path, but its slot on the relay's single
+    ordered channel is: bench run E measured the fused consensus program
+    queueing behind the 64.8 MB packed transfer. Holding the fetch until the
+    downstream stage has dispatched AND fetched its own device work (or a
+    reader/flush needs the bytes — both release immediately) sequences the
+    bulk transfer last. 0 disables the hold (CPU default: no relay, nothing
+    to schedule around); the timeout bounds worst-case write latency for a
+    caller that never flushes."""
+    raw = os.environ.get("CNMF_TPU_DRAIN_HOLD_S")
+    if raw is not None:
+        try:
+            return max(0.0, float(raw))
+        except ValueError:
+            return 0.0
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - backend init failure
+        return 0.0
+    return 10.0 if backend != "cpu" else 0.0
+
+
 class _PendingBatch:
     """Placeholder for a K's (B, k, G) spectra batch whose device→host drain
     is still in flight on the background writer (deferred packed drain,
@@ -348,6 +372,7 @@ class cNMF:
             in_order = rows == list(range(batch.shape[0]))
             if not join and in_order:
                 return batch, gene_index, dev
+            self._release_drains()  # the caller needs the bytes NOW
             batch = batch.wait()
             if batch is None:
                 # the drain failed: fall back to the files, whose reads join
@@ -1082,6 +1107,31 @@ class cNMF:
             for p in extra_paths:
                 pending[p] = fut
 
+    def _hold_drain(self):
+        """Register a hold gate for a deferred packed drain (see
+        _drain_hold_seconds): the writer's d→h fetch waits on it so the bulk
+        transfer takes its relay-channel slot AFTER the downstream stage's
+        device dispatches/fetches. Released by _release_drains()."""
+        gate = threading.Event()
+        with _H5AD_LOCK:
+            holds = getattr(self, "_drain_holds", None)
+            if holds is None:
+                holds = self._drain_holds = []
+            holds.append(gate)
+        return gate
+
+    def _release_drains(self):
+        """Open every held deferred drain — called when the pipeline is done
+        with the device/channel for now (end of consensus / the K sweep), a
+        reader needs the drained bytes, or a flush wants durability."""
+        with _H5AD_LOCK:
+            holds = getattr(self, "_drain_holds", None)
+            if not holds:
+                return
+            self._drain_holds = []
+        for gate in holds:
+            gate.set()
+
     def _write_pending(self, path):
         """True iff a background write for ``path`` is queued/in flight —
         used where file EXISTENCE gates behavior (combine's per-iteration
@@ -1095,12 +1145,16 @@ class cNMF:
         with _H5AD_LOCK:
             fut = (getattr(self, "_pending_writes", None) or {}).pop(path, None)
         if fut is not None:
+            # the single writer runs FIFO: joining ANY queued write may block
+            # behind a gate-held deferred drain — open the gates first
+            self._release_drains()
             fut.result()
 
     def flush_writes(self):
         """Join every in-flight background artifact write
         (CNMF_TPU_ASYNC_WRITES=1), re-raising the first failure. Call before
         handing the run directory to another process."""
+        self._release_drains()
         with _H5AD_LOCK:
             pending = getattr(self, "_pending_writes", None)
             futs = list(pending.items()) if pending else []
@@ -1634,8 +1688,17 @@ class cNMF:
                 if phases is not None:
                     with self._phases_lock:
                         phases["result_bytes"] += off * G * itemsize
+                hold_s = _drain_hold_seconds()
+                gate = self._hold_drain() if hold_s > 0 else None
 
                 def drain_task():
+                    if gate is not None:
+                        # sequence the bulk d→h transfer BEHIND the next
+                        # stage's device dispatches/fetches on the relay's
+                        # ordered channel (released at end-of-consensus /
+                        # end-of-sweep / any reader join / flush; the
+                        # timeout bounds a caller that never does any)
+                        gate.wait(hold_s)
                     try:
                         arr = np.asarray(packed)
                     except BaseException:
@@ -1859,6 +1922,14 @@ class cNMF:
             pack_all = (
                 pack_ok and os.environ.get("CNMF_TPU_PACK_ALL", "1") == "1"
             )
+            defer_ok = (
+                os.environ.get("CNMF_TPU_ASYNC_WRITES", "0") == "1"
+                and device_spectra_enabled()
+            )
+            # a gate-held deferred drain schedules its own transfer LAST
+            # (see _drain_hold_seconds) — starting the copy eagerly here
+            # would defeat the hold by claiming the channel slot at pack time
+            hold_drain = defer_ok and _drain_hold_seconds() > 0
             all_handles = []
             buckets = {}
             for k, group in sub.groupby("n_components", sort=True):
@@ -1890,12 +1961,14 @@ class cNMF:
                         tuple(hs[0] for _, _, hs in handles_k),
                         ks=tuple(k for k, _, _ in handles_k),
                     )
-                    try:
-                        # start the bucket's bytes moving NOW — the transfer
-                        # rides the relay while the next bucket solves
-                        packed.copy_to_host_async()
-                    except Exception:
-                        pass
+                    if not hold_drain:
+                        try:
+                            # start the bucket's bytes moving NOW — the
+                            # transfer rides the relay while the next bucket
+                            # solves
+                            packed.copy_to_host_async()
+                        except Exception:
+                            pass
                     pending.append(
                         ([(k, iters) for k, iters, _ in handles_k], packed)
                     )
@@ -1911,18 +1984,15 @@ class cNMF:
                     tuple(hs[0] for _, _, hs in all_handles),
                     ks=tuple(k for k, _, _ in all_handles),
                 )
-                try:
-                    packed.copy_to_host_async()
-                except Exception:
-                    pass
+                if not hold_drain:
+                    try:
+                        packed.copy_to_host_async()
+                    except Exception:
+                        pass
                 pending.append(
                     ([(k, iters) for k, iters, _ in all_handles], packed)
                 )
 
-            defer_ok = (
-                os.environ.get("CNMF_TPU_ASYNC_WRITES", "0") == "1"
-                and device_spectra_enabled()
-            )
             for item in pending:
                 if len(item) == 2:
                     if defer_ok and isinstance(item[1], jax.Array):
@@ -3521,6 +3591,9 @@ class cNMF:
             else:
                 self.build_reference(k, density_threshold)
         _mark("plots+ref")
+        # consensus has fetched everything it needs from the device — a
+        # gate-held deferred spectra drain may take the channel now
+        self._release_drains()
         if _trace:
             import sys
             parts = " ".join(
@@ -3694,6 +3767,10 @@ class cNMF:
             ]
         )
         stats.reset_index(drop=True, inplace=True)
+        # every K's stats are fetched — a gate-held deferred spectra drain
+        # may take the channel now (held through the sweep so no per-K
+        # program queued behind the bulk transfer)
+        self._release_drains()
         save_df_to_npz(stats, self.paths["k_selection_stats"])
         k_selection_figure(stats, self.paths["k_selection_plot"], close_fig=close_fig)
         return stats

@@ -2369,6 +2369,58 @@ class cNMF:
                 compile_one, [j for j in jobs if j[0] == "factorize"]
             ))
 
+    def _autowarm_sweep(self, norm_shape):
+        """Cold-start auto-warm for the K-selection sweep: AOT-compile the
+        per-K fused stats programs in PARALLEL (joined) before the dispatch
+        loop — k_selection_plot otherwise pays each remote compile
+        back-to-back, one per K (a fresh-cache 9-K sweep measured >10 min
+        serial through axon's 30-90 s/program compiler; concurrent compiles
+        overlap ~2.8x, so the joined warm is ~max(program) instead of the
+        sum). Same guards as factorize's _autowarm: TPU backend with a
+        persistent compilation cache, once per job set per process,
+        CNMF_TPU_AUTOWARM=0 opts out. Skips (rather than joins) when the
+        TPM h5ad write is still in flight — a same-process pipeline has
+        already primed the cache via factorize's autowarm, and joining
+        would drag prepare's write onto the sweep's critical path."""
+        if os.environ.get("CNMF_TPU_AUTOWARM", "1") != "1":
+            return
+        if jax.default_backend() != "tpu":
+            return
+        if not jax.config.jax_compilation_cache_dir:
+            return
+        if self._write_pending(self.paths["tpm"]):
+            return
+        try:
+            from cnmf_tpu.io.h5ad import read_h5ad_shape, read_h5ad_x_is_sparse
+
+            tpm_meta = (
+                read_h5ad_shape(self.paths["tpm"])[1],
+                read_h5ad_x_is_sparse(self.paths["tpm"]),
+            )
+            jobs = [
+                j for j in self._warmup_jobs(norm_shape=norm_shape,
+                                             tpm_meta=tpm_meta)
+                if j[1].startswith("k_stats")
+            ]
+        except Exception:
+            return  # never fail the sweep for a warm cache
+        key = tuple(sorted(j[1] for j in jobs))
+        if not jobs or key in cNMF._AUTOWARM_DONE:
+            return
+        cNMF._AUTOWARM_DONE.add(key)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def compile_one(job):
+            try:
+                job[2].lower(*job[3], **job[4]).compile()
+            except Exception:
+                pass
+
+        with ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="cnmf-tpu-autowarm"
+        ) as pool:
+            list(pool.map(compile_one, jobs))
+
     def _warmup_jobs(self, components=None, norm_shape=None, tpm_meta=None):
         """Build the (stage, label, jit_fn, args, kwargs) job list for every
         program the prepared run will dispatch — shared by ``warmup()`` and
@@ -3750,6 +3802,7 @@ class cNMF:
         nmf_kwargs = yaml.load(
             open(self.paths["nmf_run_parameters"]), Loader=yaml.FullLoader
         )
+        self._autowarm_sweep(norm_shape=norm_counts.X.shape)
         pending = []
         for k in sorted(set(run_params.n_components)):
             spectra_in, _ = self._k_stats_spectra_input(k)

@@ -112,3 +112,39 @@ def test_warmup_lowers_chunk_sized_ladders(tmp_path, monkeypatch):
     assert "seeded_ladder_pad8_B3" in labels, sorted(labels)
     assert "seeded_ladder_pad8_B1" in labels, sorted(labels)
     assert "seeded_ladder_pad8_B7" not in labels, sorted(labels)
+
+
+def test_autowarm_sweep_noop_on_cpu_and_wired(tmp_path, monkeypatch):
+    """_autowarm_sweep guards (CPU backend → no-op, never raises) and is
+    invoked by k_selection_plot before the dispatch loop. The TPU-side
+    compile coverage itself is pinned by test_warmup_covers_pipeline_programs
+    (the k_stats jobs it AOT-compiles are the same _warmup_jobs entries)."""
+    rng = np.random.RandomState(5)
+    X = rng.poisson(1.0, size=(50, 80)).astype(float)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(X, index=[f"c{i}" for i in range(50)],
+                      columns=[f"g{j}" for j in range(80)])
+    fn = str(tmp_path / "counts.txt")
+    df.to_csv(fn, sep="\t")
+
+    obj = cNMF(output_dir=str(tmp_path), name="aws")
+    obj.prepare(counts_fn=fn, components=[4, 5], n_iter=3, seed=2,
+                num_highvar_genes=40)
+    obj.factorize(verbose=False, use_mesh=False)
+    obj.combine()
+
+    # the job filter selects exactly the per-K stats programs
+    jobs = obj._warmup_jobs(norm_shape=(50, 40), tpm_meta=(80, False))
+    kstat = [j for j in jobs if j[1].startswith("k_stats")]
+    assert {j[1] for j in kstat} >= {"k_stats_k4", "k_stats_k5"}
+
+    calls = []
+    orig = obj._autowarm_sweep
+
+    def spy(norm_shape):
+        calls.append(norm_shape)
+        return orig(norm_shape)  # CPU backend: must no-op without error
+
+    monkeypatch.setattr(obj, "_autowarm_sweep", spy)
+    obj.k_selection_plot(close_fig=True)
+    assert calls == [(50, 40)]

@@ -438,16 +438,44 @@ def _device_kmeanspp(Xp, x_sq, w, n_points, n_clusters, key, *,
     return centers
 
 
-def _knn_density_inline(Xp, n_real, n_neighbors):
-    """KNN local density on padded rows (ops/distance semantics, traced
-    inline so the density folds into the consensus program)."""
-    from cnmf_tpu.ops.distance import _sum_smallest, pairwise_euclidean
+def _l2_normalize_pad(raw, r_pad: int):
+    """L2 row normalization + zero-pad to the point bucket, traced in-program
+    — the host's ``values / sqrt((values**2).sum(1))`` (consensus L2 step,
+    reference cnmf.py:880) for a device-resident RAW spectra twin. All-zero
+    rows (impossible for converged NMF spectra but cheap to guard) stay zero
+    instead of dividing by 0. Shared by the fused consensus and the twin-fed
+    K-stats program so the normalization cannot diverge between them."""
+    norms = jnp.sqrt(jnp.sum(raw * raw, axis=1, keepdims=True))
+    l2n = raw / jnp.where(norms > 0, norms, 1.0)
+    return (
+        jnp.zeros((r_pad, raw.shape[1]), raw.dtype).at[: raw.shape[0]].set(l2n)
+    )
 
-    dist = pairwise_euclidean(Xp)
-    col_real = jnp.arange(Xp.shape[0]) < n_real
-    dist = jnp.where(col_real[None, :], dist, jnp.inf)
-    total = _sum_smallest(dist, n_neighbors + 1)
-    return total / n_neighbors.astype(dist.dtype)
+
+def _seed_kmeanspp_batch(Xp, w, n_points, n_clusters, key, *, n_init: int,
+                         n_cluster_pad: int, n_local_trials: int):
+    """n_init independent greedy kmeans++ seedings (threefry-keyed device
+    variant) over the weighted point set — the in-program replacement for
+    sklearn's numpy-seeded loop (SURVEY §2.10-sanctioned RNG swap). Shared
+    by the fused consensus and the twin-fed K-stats program."""
+    x_sq = jnp.sum(Xp * Xp, axis=1) * w
+    keys = jax.random.split(key, n_init)
+    return jax.vmap(
+        lambda kk: _device_kmeanspp(
+            Xp, x_sq, w, n_points, n_clusters, kk,
+            n_cluster_pad=n_cluster_pad, n_local_trials=n_local_trials,
+        )
+    )(keys)
+
+
+def _knn_density_inline(Xp, n_real, n_neighbors):
+    """KNN local density on padded rows, traced inline so the density folds
+    into the consensus program — the SAME body as the standalone jitted
+    program (ops/distance._knn_density_body), so the two paths cannot
+    diverge."""
+    from cnmf_tpu.ops.distance import _knn_density_body
+
+    return _knn_density_body(Xp, n_real, n_neighbors)
 
 
 @functools.partial(
@@ -500,14 +528,8 @@ def _fused_consensus_full(
 ):
     dtype = l2p.dtype
     if normalize_rows:
-        # device-resident raw spectra: mirror the host's
-        # ``values / sqrt((values**2).sum(1))`` row normalization (consensus
-        # L2 step, reference cnmf.py:880) and the zero-pad to the point
-        # bucket — all-zero rows (impossible for converged NMF spectra but
-        # cheap to guard) stay zero instead of dividing by 0
-        norms = jnp.sqrt(jnp.sum(l2p * l2p, axis=1, keepdims=True))
-        l2n = l2p / jnp.where(norms > 0, norms, 1.0)
-        l2p = jnp.zeros((r_pad, l2p.shape[1]), dtype).at[: l2p.shape[0]].set(l2n)
+        # device-resident raw spectra twin: normalize + pad in-program
+        l2p = _l2_normalize_pad(l2p, r_pad)
     Rp = l2p.shape[0]
     # density: always traced (one program identity for hit and miss; the
     # recompute is one R×R matmul + the min-extraction loop, trivial device
@@ -534,14 +556,10 @@ def _fused_consensus_full(
         / n_safe
     scaled_tol = (lloyd_tol * jnp.mean(var_c)).astype(dtype)
 
-    x_sq = jnp.sum(Xp * Xp, axis=1) * w
-    keys = jax.random.split(key, n_init)
-    centers0 = jax.vmap(
-        lambda kk: _device_kmeanspp(
-            Xp, x_sq, w, n_points, n_clusters, kk,
-            n_cluster_pad=n_cluster_pad, n_local_trials=n_local_trials,
-        )
-    )(keys)
+    centers0 = _seed_kmeanspp_batch(
+        Xp, w, n_points, n_clusters, key, n_init=n_init,
+        n_cluster_pad=n_cluster_pad, n_local_trials=n_local_trials,
+    )
 
     labels, median_n, rf, spectra_tpm, XtX, XtY, final_usages = \
         _consensus_chain(
@@ -623,7 +641,26 @@ def fused_consensus_full(
     use_cached = cached_density is not None
     dens_in = np.zeros(Rp, dtype=np_dtype)
     if use_cached:
-        dens_in[:R] = np.asarray(cached_density, dtype=np_dtype).ravel()
+        vals64 = np.asarray(cached_density, dtype=np.float64).ravel()
+        v = vals64.astype(np_dtype)
+        if np_dtype != np.float64:
+            # the caller's filter mask is the HOST f64 compare
+            # (local_density < threshold); a cached value whose rounding to
+            # the compute dtype crosses the (rounded) threshold would make
+            # the in-program keep disagree — misaligning the packed labels
+            # with the caller's kept_index. Nudge exactly those rows to the
+            # correct side (their density output is never saved on the
+            # cached path, so the nudge is invisible outside the compare).
+            t_lo = np_dtype.type(density_threshold)
+            keep64 = vals64 < float(density_threshold)
+            wrong = (v < t_lo) != keep64
+            if wrong.any():
+                v = v.copy()
+                v[wrong & keep64] = np.nextafter(
+                    t_lo, np_dtype.type(-np.inf)
+                )
+                v[wrong & ~keep64] = t_lo
+        dens_in[:R] = v
 
     # threefry key words built on host — an eager jax.random.PRNGKey would
     # dispatch its own tiny seeding program through the relay

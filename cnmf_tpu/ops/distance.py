@@ -57,14 +57,19 @@ def _sum_smallest(dist: jax.Array, count: jax.Array) -> jax.Array:
 
 
 
-@jax.jit
-def _knn_density_padded(Xp: jax.Array, n_real: jax.Array, n_neighbors: jax.Array):
+def _knn_density_body(Xp: jax.Array, n_real: jax.Array, n_neighbors: jax.Array):
+    """Traceable KNN-density body — shared by the standalone jitted program
+    below and the fused consensus program (ops/consensus_fused traces it
+    inline), so the density semantics cannot diverge between the two."""
     dist = pairwise_euclidean(Xp)
     # mask padded columns out of every neighborhood
     col_real = jnp.arange(Xp.shape[0]) < n_real
     dist = jnp.where(col_real[None, :], dist, jnp.inf)
     total = _sum_smallest(dist, n_neighbors + 1)
     return total / n_neighbors.astype(dist.dtype)
+
+
+_knn_density_padded = jax.jit(_knn_density_body)
 
 
 def local_density_from_spectra(l2_spectra, n_neighbors: int):

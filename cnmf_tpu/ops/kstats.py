@@ -183,27 +183,25 @@ def _fused_k_stats_dev(
     and the greedy kmeans++ seeding (threefry-keyed device variant, see
     ops/consensus_fused._device_kmeanspp) all run inside the program — no
     spectra bytes cross the link for the whole K-selection sweep."""
-    from cnmf_tpu.ops.consensus_fused import _device_kmeanspp
+    from cnmf_tpu.ops.consensus_fused import (
+        _l2_normalize_pad,
+        _seed_kmeanspp_batch,
+    )
 
     dtype = raw.dtype
     R = raw.shape[0]
-    norms = jnp.sqrt(jnp.sum(raw * raw, axis=1, keepdims=True))
-    l2 = raw / jnp.where(norms > 0, norms, 1.0)
-    Xp = jnp.zeros((r_pad, raw.shape[1]), dtype).at[:R].set(l2)
+    Xp = _l2_normalize_pad(raw, r_pad)
+    l2 = Xp[:R]
     # host twin: lloyd_tol * np.mean(np.var(X, axis=0)) over the REAL rows
     mean = jnp.mean(l2, axis=0, keepdims=True)
     scaled_tol = lloyd_tol * jnp.mean(jnp.mean((l2 - mean) ** 2, axis=0))
 
     n_points = jnp.int32(R)
     w = (jnp.arange(r_pad) < n_points).astype(dtype)
-    x_sq = jnp.sum(Xp * Xp, axis=1) * w
-    keys = jax.random.split(key, n_init)
-    centers0 = jax.vmap(
-        lambda kk: _device_kmeanspp(
-            Xp, x_sq, w, n_points, n_clusters, kk,
-            n_cluster_pad=n_cluster_pad, n_local_trials=n_local_trials,
-        )
-    )(keys)
+    centers0 = _seed_kmeanspp_batch(
+        Xp, w, n_points, n_clusters, key, n_init=n_init,
+        n_cluster_pad=n_cluster_pad, n_local_trials=n_local_trials,
+    )
 
     return _k_stats_chain(
         Xnc, Xp, centers0, scaled_tol.astype(dtype),

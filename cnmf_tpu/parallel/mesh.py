@@ -38,7 +38,13 @@ def build_mesh(
     if cell_axis is None:
         import os
 
-        cell_axis = int(os.environ.get("CNMF_TPU_CELL_AXIS", "1"))
+        raw = os.environ.get("CNMF_TPU_CELL_AXIS", "1")
+        try:
+            cell_axis = max(1, int(raw))
+        except ValueError:
+            # malformed knob: fall back like the other env parsers rather
+            # than failing every factorize/consensus call
+            cell_axis = 1
     if devices is None:
         devices = jax.devices()
     n = len(devices)

@@ -253,6 +253,15 @@ class cNMF:
                 for k_, entry in list(memo.items()):
                     if entry[3] is not None:
                         memo[k_] = entry[:3] + (None,)
+        # a deferred merge's registered meta carries the same twin — strip
+        # it too (consensus then falls back to the host values via the
+        # joined merge), or the HBM handle would outlive the clear
+        with _H5AD_LOCK:
+            metas = getattr(self, "_merged_meta", None)
+            if metas:
+                for path_, meta in list(metas.items()):
+                    if meta[4] is not None:
+                        metas[path_] = meta[:4] + (None,)
 
     # in-process artifact memo: stages still WRITE every §2.9 file (the
     # on-disk contract is the reference's restart/elasticity story), but a
@@ -1637,7 +1646,14 @@ class cNMF:
                 _tw = _time.perf_counter()
                 G = arr.shape[1]
                 off = 0
-                keep_dev = isinstance(packed, jax.Array)
+                # only pin the packed buffer in HBM when a downstream stage
+                # can actually consume the twin — with the knob off,
+                # _device_spectra_twin always returns None and holding the
+                # handle would keep ~65 MB (bench) / more (atlas) live for
+                # the process lifetime
+                keep_dev = (
+                    isinstance(packed, jax.Array) and device_spectra_enabled()
+                )
                 for k, iters in entries:
                     B = len(iters)
                     _submit_writes(
@@ -3204,10 +3220,16 @@ class cNMF:
             sil_dev, sse_dev = self._dispatch_k_stats(
                 k, spectra_in, nmf_kwargs, norm_counts
             )
-            return pd.DataFrame(
+            stats_row = pd.DataFrame(
                 [k, density_threshold, float(sil_dev), float(sse_dev)],
                 index=K_STATS_FIELDS, columns=["stats"],
             )
+            # the device scalars are fetched — open any gate-held drain so
+            # queued artifact writes don't stall until the hold timeout.
+            # (k_selection_plot doesn't route through here — it dispatches
+            # the whole sweep itself and releases once at its end.)
+            self._release_drains()
+            return stats_row
 
         if os.path.isfile(self.paths["local_density_cache"] % k):
             local_density = load_df_from_npz(self.paths["local_density_cache"] % k)

@@ -58,14 +58,25 @@ class HostArena:
         self.hits = 0
         self.misses = 0
 
+    # the refcount a FREE slot measures through _free's exact call shape
+    # (list entry + loop/comprehension binding + parameter + getrefcount's
+    # argument) — CALIBRATED at import via _calibrate_free_refs() below so
+    # a CPython change to argument-passing refcount conventions shifts the
+    # baseline with it instead of silently turning the guard into aliasing
+    _FREE_REFS = 0
+
+    @staticmethod
+    def _refs(slot: np.ndarray) -> int:
+        return sys.getrefcount(slot)
+
     @staticmethod
     def _free(slot: np.ndarray) -> bool:
-        # 4 = the _slots list entry + the caller's loop/comprehension
-        # binding + this function's parameter + getrefcount's argument
-        # (every call site binds the slot exactly once before calling);
-        # anything above that is an outstanding consumer — views chain a
+        # equality, not >=: a call site that binds differently (e.g. a
+        # temporary instead of a loop variable) measures BELOW the baseline
+        # and is treated as held — the conservative direction. Anything
+        # above the baseline is an outstanding consumer — views chain a
         # strong ref to their base, so slices/reshapes/casts all count
-        return sys.getrefcount(slot) == 4
+        return HostArena._refs(slot) == HostArena._FREE_REFS
 
     def take(self, shape, dtype) -> np.ndarray:
         dtype = np.dtype(dtype)
@@ -105,5 +116,20 @@ class HostArena:
         with self._lock:
             self._slots = [s for s in self._slots if not self._free(s)]
 
+
+def _calibrate_free_refs() -> int:
+    """Refcount of a definitionally-free slot measured through the same
+    call shape ``_free`` uses: list entry + loop binding + one wrapper
+    frame + ``_refs``'s parameter + getrefcount's argument."""
+    def probe(slot: np.ndarray) -> int:
+        return HostArena._refs(slot)
+
+    slots = [np.empty(0, np.uint8)]
+    for slot in slots:
+        return probe(slot)
+    raise AssertionError("unreachable")
+
+
+HostArena._FREE_REFS = _calibrate_free_refs()
 
 host_arena = HostArena()

@@ -76,6 +76,10 @@ def main():
 
     os.environ.setdefault("CNMF_TPU_MATMUL_PRECISION", "high")
     os.environ.setdefault("CNMF_TPU_TIMINGS", "1")
+    # round-5 pipeline mode: host file writes ride the background writer and
+    # overlap the device stages; the timed `flush` row below is where the
+    # still-queued bytes land (durability boundary for external consumers)
+    os.environ.setdefault("CNMF_TPU_ASYNC_WRITES", "1")
     import jax
     cache_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
@@ -131,8 +135,13 @@ def main():
                   close_clustergram_fig=True)
     t_cons = time.perf_counter() - t0
     log(f"[atlas] consensus: {t_cons:.1f}s")
+
+    t0 = time.perf_counter()
+    obj.flush_writes()
+    t_flush = time.perf_counter() - t0
+    log(f"[atlas] flush (async writes drain): {t_flush:.1f}s")
     log(f"[atlas] TOTAL (excl. synthesis): "
-        f"{t_prep + t_fact + t_comb + t_cons:.1f}s")
+        f"{t_prep + t_fact + t_comb + t_cons + t_flush:.1f}s")
 
 
 if __name__ == "__main__":

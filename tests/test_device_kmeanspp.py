@@ -169,3 +169,58 @@ def test_full_fused_zero_survivors_raises(run, monkeypatch):
     with pytest.raises(RuntimeError, match="Zero components remain"):
         obj.consensus(k=K, density_threshold=1e-9, show_clustering=False,
                       close_clustergram_fig=True)
+
+
+def test_cached_density_f32_borderline_matches_host_filter(tmp_path,
+                                                           monkeypatch):
+    """A cached f64 density whose f32 rounding crosses the threshold must
+    still produce the HOST filter decision in-program (fused_consensus_full
+    nudges exactly those rows), or the packed labels misalign with the
+    caller's kept_index. Threshold 0.30000001 f32-rounds UP to ~0.300000012;
+    a cached value just below the f64 threshold rounds to the same f32 and
+    would be dropped in-program without the nudge."""
+    rng = np.random.RandomState(3)
+    n_cells, n_genes = 120, 150
+    W = rng.gamma(0.7, 1.0, size=(n_cells, K))
+    H = rng.gamma(0.5, 1.0, size=(K, n_genes)) * (
+        rng.rand(K, n_genes) < 0.35
+    )
+    X = rng.poisson(W @ H * 2.0).astype(float)
+    X[X.sum(axis=1) == 0, 0] = 1
+    df = pd.DataFrame(
+        X,
+        index=[f"cell{i}" for i in range(n_cells)],
+        columns=[f"gene{j}" for j in range(n_genes)],
+    )
+    counts_fn = str(tmp_path / "counts.txt")
+    df.to_csv(counts_fn, sep="\t")
+
+    # f32 compute dtype: the program compares at f32 even on CPU
+    obj = cNMF(output_dir=str(tmp_path), name="border",
+               compute_dtype=np.float32)
+    obj.prepare(counts_fn=counts_fn, components=[K], n_iter=8, seed=5,
+                num_highvar_genes=100)
+    obj.factorize(verbose=False)
+    obj.combine()
+
+    thresh = 0.30000001           # f32(thresh) > thresh
+    assert float(np.float32(thresh)) > thresh
+    n_rows = 8 * K
+    dens = np.full(n_rows, 0.1)
+    dens[3] = thresh - 1e-12      # host keeps; f32 rounds to >= f32(thresh)
+    assert dens[3] < thresh
+    assert np.float32(dens[3]) >= np.float32(thresh)
+    from cnmf_tpu.io.dataframe import save_df_to_npz
+    merged = load_df_from_npz(obj.paths["merged_spectra"] % K)
+    save_df_to_npz(
+        pd.DataFrame(dens, columns=["local_density"], index=merged.index),
+        obj.paths["local_density_cache"] % K,
+    )
+
+    monkeypatch.setenv("CNMF_TPU_DEVICE_KMEANSPP", "force")
+    obj.consensus(k=K, density_threshold=thresh, show_clustering=False)
+    dt_tag = str(thresh).replace(".", "_")
+    usages = load_df_from_npz(obj.paths["consensus_usages"] % (K, dt_tag))
+    assert usages.shape == (n_cells, K)
+    spectra = load_df_from_npz(obj.paths["consensus_spectra"] % (K, dt_tag))
+    assert spectra.shape[0] == K
